@@ -1,0 +1,111 @@
+"""Expected Improvement and GP posterior, masked/jittable.
+
+Parity: ``GPEIOptChooser.compute_ei`` ≈L300 (SURVEY.md §3.2):
+
+    K     = amp2·(k(X,X) + 1e-6 I) + noise·I
+    L     = chol(K);  α = K⁻¹ (y − mean);  B = L⁻¹ k(X, C)·amp2
+    m(C)  = mean + k(X,C)ᵀ α
+    v(C)  = amp2·(1 + 1e-6) − Σ B²         (per-candidate)
+    u     = (best − m)/√v
+    EI    = √v · (u·Φ(u) + φ(u))
+
+``best`` is min over the *supplied* values — with fantasized pending
+outcomes included when present, exactly as the reference's augmented-data
+call.  EI under multiple hyperparameter samples is averaged by the caller
+(vmap over a leading hypers axis).
+
+On TPU the n×C cross-kernel + triangular solve dominates; both map to
+MXU-friendly batched dense ops, and the cross-kernel has a Pallas
+implementation in ``spearmint_tpu/ops``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from spearmint_tpu.core import linalg
+from spearmint_tpu.core.kernels import matern52
+from spearmint_tpu.core.likelihood import (
+    GPHypers,
+    JITTER,
+    cov_matrix,
+    cross_cov,
+)
+
+
+class PosteriorCache(NamedTuple):
+    """Per-hyperparameter-sample factorization reused across EI evals."""
+
+    chol: jnp.ndarray   # (N, N) lower Cholesky of the observation cov
+    alpha: jnp.ndarray  # (N,) K⁻¹(y − mean)
+    best: jnp.ndarray   # scalar incumbent (min of supplied values)
+    hypers: GPHypers
+
+
+def make_cache(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    mask: jnp.ndarray,
+    hypers: GPHypers,
+    kernel: Callable = matern52,
+) -> PosteriorCache:
+    k = cov_matrix(x, mask, hypers.amp2, hypers.noise, hypers.ls, kernel)
+    chol = jnp.linalg.cholesky(k)
+    resid = jnp.where(mask, y - hypers.mean, 0.0)
+    alpha = linalg.chol_solve(chol, resid)
+    best = linalg.masked_min(y, mask)
+    return PosteriorCache(chol=chol, alpha=alpha, best=best, hypers=hypers)
+
+
+def posterior_from_cache(
+    cache: PosteriorCache,
+    x: jnp.ndarray,
+    mask: jnp.ndarray,
+    cand: jnp.ndarray,
+    kernel: Callable = matern52,
+):
+    """Posterior mean/variance at candidate points given a cache."""
+    h = cache.hypers
+    kx = cross_cov(x, cand, h.amp2, h.ls, kernel)
+    kx = kx * mask[:, None]  # padded observations contribute nothing
+    mu = h.mean + kx.T @ cache.alpha
+    beta = linalg.tri_solve(cache.chol, kx)
+    var = h.amp2 * (1.0 + JITTER) - jnp.sum(beta * beta, axis=0)
+    return mu, var
+
+
+def _ei_from_moments(mu, var, best):
+    sigma = jnp.sqrt(jnp.maximum(var, 1e-14))
+    u = (best - mu) / sigma
+    ncdf = jax.scipy.stats.norm.cdf(u)
+    npdf = jax.scipy.stats.norm.pdf(u)
+    return sigma * (u * ncdf + npdf)
+
+
+def compute_ei(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    mask: jnp.ndarray,
+    hypers: GPHypers,
+    cand: jnp.ndarray,
+    kernel: Callable = matern52,
+) -> jnp.ndarray:
+    """EI at each candidate under one hyperparameter sample."""
+    cache = make_cache(x, y, mask, hypers, kernel)
+    mu, var = posterior_from_cache(cache, x, mask, cand, kernel)
+    return _ei_from_moments(mu, var, cache.best)
+
+
+def ei_from_cache(
+    cache: PosteriorCache,
+    x: jnp.ndarray,
+    mask: jnp.ndarray,
+    cand: jnp.ndarray,
+    kernel: Callable = matern52,
+) -> jnp.ndarray:
+    """EI reusing a precomputed factorization (EI-optimization inner loop)."""
+    mu, var = posterior_from_cache(cache, x, mask, cand, kernel)
+    return _ei_from_moments(mu, var, cache.best)

@@ -1,0 +1,78 @@
+"""Pending-job fantasization (asynchronous parallel BO).
+
+Parity: the pending branch of ``GPEIOptChooser.next`` ≈L200
+(SURVEY.md §3.2): for each hyperparameter sample, draw the pending jobs'
+outcomes from the GP posterior (noise-free function draw), append them to
+the observed data, and compute EI against the augmented set.  In the
+rebuild this is a pure function of (key, data, pending, hypers) → it
+vmaps over a (chain × fantasy) axis, turning the reference's sequential
+per-chain resampling into one batched draw (SURVEY.md §2b row 1).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from spearmint_tpu.core import linalg
+from spearmint_tpu.core.kernels import matern52
+from spearmint_tpu.core.likelihood import (
+    GPHypers,
+    JITTER,
+    cov_matrix,
+    cross_cov,
+)
+
+
+def fantasize(
+    key: jax.Array,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    mask: jnp.ndarray,
+    pend: jnp.ndarray,
+    pend_mask: jnp.ndarray,
+    hypers: GPHypers,
+    kernel: Callable = matern52,
+) -> jnp.ndarray:
+    """Sample fantasy outcomes at pending points from the GP posterior.
+
+    Returns fantasy values of shape (P,), meaningful where pend_mask.
+    """
+    n_pend = pend.shape[0]
+    obs_cov = cov_matrix(x, mask, hypers.amp2, hypers.noise, hypers.ls, kernel)
+    obs_chol = jnp.linalg.cholesky(obs_cov)
+    resid = jnp.where(mask, y - hypers.mean, 0.0)
+    alpha = linalg.chol_solve(obs_chol, resid)
+
+    kx = cross_cov(x, pend, hypers.amp2, hypers.ls, kernel)
+    kx = kx * mask[:, None]
+    # Reference kappa = self.cov(pend) = amp2·(k + 1e-6 I): noise-free draw.
+    eye_p = jnp.eye(n_pend, dtype=x.dtype)
+    kappa = hypers.amp2 * (kernel(pend, pend, hypers.ls) + JITTER * eye_p)
+
+    pend_m = hypers.mean + kx.T @ alpha
+    beta = linalg.tri_solve(obs_chol, kx)
+    pend_k = kappa - beta.T @ beta
+    pend_k = linalg.mask_psd_matrix(pend_k + JITTER * eye_p, pend_mask)
+    pend_chol = jnp.linalg.cholesky(pend_k)
+
+    draw = jax.random.normal(key, (n_pend,), dtype=x.dtype)
+    fant = pend_m + pend_chol @ draw
+    return jnp.where(pend_mask, fant, 0.0)
+
+
+def augment(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    mask: jnp.ndarray,
+    pend: jnp.ndarray,
+    pend_mask: jnp.ndarray,
+    fant: jnp.ndarray,
+):
+    """Concatenate fantasized pending outcomes onto the observed data."""
+    x_aug = jnp.concatenate([x, pend], axis=0)
+    y_aug = jnp.concatenate([y, fant], axis=0)
+    mask_aug = jnp.concatenate([mask, pend_mask], axis=0)
+    return x_aug, y_aug, mask_aug

@@ -1,0 +1,188 @@
+"""Batched box-constrained L-BFGS for on-chip acquisition optimization.
+
+Replaces the reference's host-side ``scipy.optimize.fmin_l_bfgs_b`` over a
+``multiprocessing.Pool`` of candidate starts (``GPEIOptChooser`` ≈L250,
+SURVEY.md §3.2) with a jittable, vmappable projected L-BFGS:
+
+  * fixed iteration count via ``lax.scan`` (static shapes, no host sync);
+  * limited-memory two-loop recursion with a circular (s, y) history;
+  * Armijo backtracking line search along the projected path;
+  * all restarts advance in lockstep as one batched computation — on TPU
+    the EI objective batches over starts into single MXU-sized solves
+    instead of scipy's one-point-at-a-time loop.
+
+This is projected L-BFGS rather than scipy's exact L-BFGS-B active-set
+algorithm; for smooth EI surfaces on the unit box the optima agree (test:
+``tests/test_optimize.py`` checks parity against scipy on random smooth
+functions).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class LBFGSResult(NamedTuple):
+    x: jnp.ndarray
+    fun: jnp.ndarray
+    converged: jnp.ndarray
+
+
+def _two_loop(g, s_hist, y_hist, rho_hist, valid):
+    """L-BFGS two-loop recursion with masked (possibly unfilled) history."""
+    m = s_hist.shape[0]
+
+    def bwd(carry, i):
+        q, alphas = carry
+        a = rho_hist[i] * jnp.dot(s_hist[i], q)
+        a = jnp.where(valid[i], a, 0.0)
+        q = q - a * y_hist[i]
+        return (q, alphas.at[i].set(a)), None
+
+    (q, alphas), _ = lax.scan(
+        bwd, (g, jnp.zeros(m, g.dtype)), jnp.arange(m - 1, -1, -1)
+    )
+
+    # Initial Hessian scaling γ = sᵀy / yᵀy from the newest valid pair.
+    newest = m - 1
+    sy = jnp.dot(s_hist[newest], y_hist[newest])
+    yy = jnp.dot(y_hist[newest], y_hist[newest])
+    gamma = jnp.where(valid[newest] & (yy > 0), sy / jnp.maximum(yy, 1e-20), 1.0)
+    r = gamma * q
+
+    def fwd(r, i):
+        b = rho_hist[i] * jnp.dot(y_hist[i], r)
+        b = jnp.where(valid[i], b, 0.0)
+        r = r + (alphas[i] - b) * s_hist[i]
+        return r, None
+
+    r, _ = lax.scan(fwd, r, jnp.arange(m))
+    return r  # approximates H·g
+
+
+def _lbfgs_single(
+    fun: Callable,
+    x0: jnp.ndarray,
+    lower: jnp.ndarray,
+    upper: jnp.ndarray,
+    iters: int,
+    history: int,
+    tol: float,
+    max_ls: int,
+):
+    dtype = x0.dtype
+    dim = x0.shape[0]
+    vg = jax.value_and_grad(fun)
+
+    def project(x):
+        return jnp.clip(x, lower, upper)
+
+    x0 = project(x0)
+    f0, g0 = vg(x0)
+
+    class _State(NamedTuple):
+        x: jnp.ndarray
+        f: jnp.ndarray
+        g: jnp.ndarray
+        s_hist: jnp.ndarray
+        y_hist: jnp.ndarray
+        rho_hist: jnp.ndarray
+        valid: jnp.ndarray
+        done: jnp.ndarray
+
+    init = _State(
+        x=x0, f=f0, g=g0,
+        s_hist=jnp.zeros((history, dim), dtype),
+        y_hist=jnp.zeros((history, dim), dtype),
+        rho_hist=jnp.zeros((history,), dtype),
+        valid=jnp.zeros((history,), bool),
+        done=jnp.array(False),
+    )
+
+    def step(st: _State, _):
+        d = -_two_loop(st.g, st.s_hist, st.y_hist, st.rho_hist, st.valid)
+        # Ensure descent; fall back to steepest descent otherwise.
+        descent = jnp.dot(d, st.g) < 0
+        d = jnp.where(descent, d, -st.g)
+        gd = jnp.dot(d, st.g)
+
+        def ls_cond(c):
+            t, trial, ok = c
+            return (~ok) & (trial < max_ls)
+
+        def ls_body(c):
+            t, trial, _ = c
+            x_try = project(st.x + t * d)
+            f_try = fun(x_try)
+            # Armijo on the projected step.
+            ok = f_try <= st.f + 1e-4 * jnp.dot(st.g, x_try - st.x)
+            t_next = jnp.where(ok, t, t * 0.5)
+            return t_next, trial + 1, ok
+
+        t, _, ls_ok = lax.while_loop(
+            ls_cond, ls_body, (jnp.asarray(1.0, dtype), 0, jnp.array(False))
+        )
+        x_new = project(st.x + jnp.where(ls_ok, t, 0.0) * d)
+        f_new, g_new = vg(x_new)
+        improved = f_new < st.f
+        x_new = jnp.where(improved, x_new, st.x)
+        f_new = jnp.where(improved, f_new, st.f)
+        g_new = jnp.where(improved, g_new, st.g)
+
+        s = x_new - st.x
+        yv = g_new - st.g
+        sy = jnp.dot(s, yv)
+        keep = improved & (sy > 1e-10)
+        s_hist = jnp.where(keep, jnp.roll(st.s_hist, -1, 0).at[-1].set(s), st.s_hist)
+        y_hist = jnp.where(keep, jnp.roll(st.y_hist, -1, 0).at[-1].set(yv), st.y_hist)
+        rho_hist = jnp.where(
+            keep, jnp.roll(st.rho_hist, -1, 0).at[-1].set(1.0 / sy), st.rho_hist
+        )
+        valid = jnp.where(keep, jnp.roll(st.valid, -1, 0).at[-1].set(True), st.valid)
+
+        # Projected-gradient convergence test.
+        pg = x_new - project(x_new - g_new)
+        done = st.done | (jnp.max(jnp.abs(pg)) < tol) | (~improved & ~ls_ok)
+
+        new_st = _State(x_new, f_new, g_new, s_hist, y_hist, rho_hist, valid, done)
+        # Freeze converged lanes (cheap: results identical once done).
+        frozen = jax.tree.map(lambda a, b: jnp.where(st.done, a, b), st, new_st)
+        return frozen, None
+
+    final, _ = lax.scan(step, init, None, length=iters)
+    return LBFGSResult(x=final.x, fun=final.f, converged=final.done)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("fun", "iters", "history", "tol", "max_ls"),
+)
+def minimize_lbfgs_b(
+    fun: Callable,
+    x0: jnp.ndarray,
+    lower: jnp.ndarray,
+    upper: jnp.ndarray,
+    iters: int = 50,
+    history: int = 10,
+    tol: float = 1e-6,
+    max_ls: int = 20,
+) -> LBFGSResult:
+    """Minimize ``fun`` from a batch of starts inside a box.
+
+    x0: (B, D) starts (or (D,) for a single start); bounds broadcast.
+    Returns per-start optima; callers typically take the argmin lane.
+    """
+    single = x0.ndim == 1
+    x0b = x0[None] if single else x0
+    lower = jnp.broadcast_to(lower, x0b.shape[-1:])
+    upper = jnp.broadcast_to(upper, x0b.shape[-1:])
+    run = lambda x: _lbfgs_single(fun, x, lower, upper, iters, history, tol, max_ls)
+    res = jax.vmap(run)(x0b)
+    if single:
+        res = LBFGSResult(res.x[0], res.fun[0], res.converged[0])
+    return res

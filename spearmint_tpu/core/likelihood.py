@@ -1,0 +1,78 @@
+"""GP log-marginal likelihood (the slice-sampling hot path).
+
+Parity: the ``logprob`` closures inside the reference choosers
+(``GPEIOptChooser._sample_ls`` / ``_sample_noisy`` ≈L200-260, per
+SURVEY.md §3.2).  The reference formula — note it deliberately omits the
+constant −(n/2)·log 2π, which slice sampling never needs:
+
+    K    = amp2 · (kernel(ls, X) + 1e-6·I) + noise·I
+    L    = chol(K)
+    lp   = −Σ log diag(L) − ½ (y − mean)ᵀ K⁻¹ (y − mean)
+
+Everything here is pure/jittable and masked for static shapes; vmap over a
+leading hyperparameter axis gives batched chain evaluation.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax.numpy as jnp
+
+from spearmint_tpu.core import linalg
+from spearmint_tpu.core.kernels import matern52
+
+JITTER = 1e-6
+
+
+class GPHypers(NamedTuple):
+    """One GP hyperparameter state (one slice-sampling chain's position)."""
+
+    mean: jnp.ndarray   # scalar
+    amp2: jnp.ndarray   # scalar, signal variance
+    noise: jnp.ndarray  # scalar, observation noise variance
+    ls: jnp.ndarray     # (D,) ARD length scales
+
+
+def cov_matrix(
+    x: jnp.ndarray,
+    mask: jnp.ndarray,
+    amp2: jnp.ndarray,
+    noise: jnp.ndarray,
+    ls: jnp.ndarray,
+    kernel: Callable = matern52,
+) -> jnp.ndarray:
+    """amp2·(k(X,X) + 1e-6 I) + noise·I with padded rows/cols → identity."""
+    n = x.shape[0]
+    eye = jnp.eye(n, dtype=x.dtype)
+    k = amp2 * (kernel(x, x, ls) + JITTER * eye) + noise * eye
+    return linalg.mask_psd_matrix(k, mask)
+
+
+def cross_cov(
+    x1: jnp.ndarray,
+    x2: jnp.ndarray,
+    amp2: jnp.ndarray,
+    ls: jnp.ndarray,
+    kernel: Callable = matern52,
+) -> jnp.ndarray:
+    """amp2·k(X1, X2) (reference ``self.cov(comp, cand)`` — no jitter)."""
+    return amp2 * kernel(x1, x2, ls)
+
+
+def log_marginal(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    mask: jnp.ndarray,
+    hypers: GPHypers,
+    kernel: Callable = matern52,
+) -> jnp.ndarray:
+    """Reference GP log-marginal (sans 2π constant), masked/jittable."""
+    k = cov_matrix(x, mask, hypers.amp2, hypers.noise, hypers.ls, kernel)
+    chol = jnp.linalg.cholesky(k)
+    resid = jnp.where(mask, y - hypers.mean, 0.0)
+    solve = linalg.chol_solve(chol, resid)
+    lp = -linalg.logdet_from_chol(chol) - 0.5 * jnp.dot(resid, solve)
+    # A failed (non-PD) factorization yields NaN; slice sampling treats it
+    # as −inf, mirroring the reference's hard failure but recoverably.
+    return jnp.where(jnp.isnan(lp), -jnp.inf, lp)

@@ -1,0 +1,87 @@
+"""Masked dense linear algebra for fixed-shape (padded) GP computations.
+
+JAX/XLA wants static shapes; the reference grows its observation arrays
+dynamically (``GPEIOptChooser.py`` rebuilds an (n,n) kernel matrix each
+call).  Here every array is padded to a bucket size and carries a boolean
+mask.  The masking scheme makes padded entries *exactly* inert:
+
+  * kernel matrix rows/cols for padded points are replaced by identity
+    rows → the Cholesky factor is block diagonal with 1s on the padded
+    diagonal, contributing 0 to the log determinant;
+  * padded residual entries are 0 → triangular solves propagate exact 0s,
+    so quadratic forms and posterior projections are unaffected.
+
+So a masked computation at bucket size N equals the unmasked computation
+at the true size n, bit-for-bit up to XLA reduction order.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def pad_bucket(n: int, minimum: int = 16) -> int:
+    """Static-shape bucket for n observations (next power of two ≥ n).
+
+    Power-of-two buckets bound recompilation count to O(log n_max) while
+    keeping padding waste < 2×.
+    """
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+def mask_psd_matrix(k: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Replace padded rows/cols of a PSD matrix with identity rows.
+
+    k: (N, N) raw kernel matrix (padded entries arbitrary).
+    mask: (N,) boolean, True for real observations.
+    """
+    both = mask[:, None] & mask[None, :]
+    eye = jnp.eye(k.shape[-1], dtype=k.dtype)
+    return jnp.where(both, k, eye)
+
+
+def masked_cholesky(k: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Lower Cholesky factor of a masked PSD matrix."""
+    return jnp.linalg.cholesky(mask_psd_matrix(k, mask))
+
+
+def chol_solve(chol: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve K x = b given K = L Lᵀ (reference ``spla.cho_solve``)."""
+    y = jax.scipy.linalg.solve_triangular(chol, b, lower=True)
+    return jax.scipy.linalg.solve_triangular(chol.T, y, lower=False)
+
+
+def tri_solve(chol: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve L y = b (lower-triangular forward substitution)."""
+    return jax.scipy.linalg.solve_triangular(chol, b, lower=True)
+
+
+def logdet_from_chol(chol: jnp.ndarray) -> jnp.ndarray:
+    """½ log det K = Σ log diag(L).  Padded diagonal entries are 1 → 0."""
+    return jnp.sum(jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)))
+
+
+def masked_min(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    return jnp.min(jnp.where(mask, x, jnp.inf))
+
+
+def masked_max(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    return jnp.max(jnp.where(mask, x, -jnp.inf))
+
+
+def masked_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    m = mask.astype(x.dtype)
+    return jnp.sum(x * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def masked_std(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Population std over masked entries (matches ``np.std``)."""
+    m = mask.astype(x.dtype)
+    cnt = jnp.maximum(jnp.sum(m), 1.0)
+    mu = jnp.sum(x * m) / cnt
+    var = jnp.sum(((x - mu) ** 2) * m) / cnt
+    return jnp.sqrt(var)

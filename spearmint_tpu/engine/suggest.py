@@ -1,0 +1,187 @@
+"""The end-to-end jitted suggestion step (the rebuild's hot path).
+
+This one pure function replaces the whole numerical body of
+``GPEIOptChooser.next`` (reference ≈L150-280, SURVEY.md §3.2):
+
+  reference (single persistent chain, sequential, CPU):
+      for i in range(mcmc_iters): sample_hypers(); ei += compute_ei(...)
+      top-k grid EI → scipy L-BFGS-B per start (mp.Pool)
+
+  rebuild (chains × iters batched, one XLA program):
+      vmap over `chains` of lax.scan(mcmc_iters) slice-sampling sweeps
+      → per-sample posterior caches (Cholesky batched over samples)
+      → fantasized pending outcomes as an extra batched draw
+      → EI[S, C] (S = chains·iters samples, C candidates), masked mean
+      → top-k starts → batched projected L-BFGS on the sample-averaged EI
+
+  Sharding: vmapped chain states shard over a `chains` mesh axis and the
+  candidate batch over `cand` (SURVEY.md §2b); apply in_shardings at the
+  jit call site (see engine/mesh.py) and GSPMD inserts the collectives
+  (the candidate argmax becomes an all-reduce over `cand`).
+
+Shapes are static: observations padded to a bucket with a mask (see
+core/linalg.py), pending padded likewise, candidates padded with a mask.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from spearmint_tpu.acquire import ei as ei_mod
+from spearmint_tpu.acquire.fantasy import augment, fantasize
+from spearmint_tpu.acquire.optimize import minimize_lbfgs_b
+from spearmint_tpu.core.kernels import get_kernel
+from spearmint_tpu.core.likelihood import GPHypers
+from spearmint_tpu.mcmc.chains import MCMCConfig, sample_hypers
+
+
+class SuggestConfig(NamedTuple):
+    """Static configuration (hashable → jit static argument).
+
+    Defaults mirror the reference chooser args (mcmc_iters=10,
+    grid_subset=20 L-BFGS starts, burn-in 100 on first call).
+    """
+
+    mcmc_iters: int = 10
+    noiseless: bool = False
+    kernel_name: str = "Matern52"
+    max_ls: float = 2.0
+    grid_subset: int = 20
+    lbfgs_iters: int = 50
+    optimize: bool = True          # False → grid-only EI (GPEIChooser mode)
+    has_pending: bool = False      # static: pending branch traced only if used
+
+    @property
+    def kernel(self):
+        return get_kernel(self.kernel_name)
+
+    @property
+    def mcmc(self) -> MCMCConfig:
+        return MCMCConfig(
+            noiseless=self.noiseless, max_ls=self.max_ls, kernel=self.kernel
+        )
+
+
+class SuggestResult(NamedTuple):
+    hypers: GPHypers       # [chains, ...] updated chain states
+    samples: GPHypers      # [S, ...] this call's hyperparameter samples
+    ei: jnp.ndarray        # [C] sample-averaged EI over the candidate set
+    best_cand: jnp.ndarray     # argmax index into the candidate set
+    best_cand_ei: jnp.ndarray  # its EI
+    x_opt: jnp.ndarray         # (D,) best off-grid optimized point
+    ei_opt: jnp.ndarray        # its EI (== -min L-BFGS objective)
+
+
+def _flatten_samples(samples: GPHypers, s: int) -> GPHypers:
+    """[chains, iters, ...] → [S, ...], chains-major (shardable by chain)."""
+    return jax.tree.map(lambda a: a.reshape((s,) + a.shape[2:]), samples)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def suggest_step(
+    key: jax.Array,
+    hypers: GPHypers,          # [chains, ...] chain states
+    x: jnp.ndarray,            # [N, D] padded observations
+    y: jnp.ndarray,            # [N]
+    mask: jnp.ndarray,         # [N] bool
+    pend: jnp.ndarray,         # [P, D] padded pending points
+    pend_mask: jnp.ndarray,    # [P] bool
+    cand: jnp.ndarray,         # [C, D] padded candidates
+    cand_mask: jnp.ndarray,    # [C] bool
+    config: SuggestConfig = SuggestConfig(),
+) -> SuggestResult:
+    chains = hypers.mean.shape[0]
+    iters = config.mcmc_iters
+    s = chains * iters
+    kernel = config.kernel
+    k_chains, k_fant = jax.random.split(key)
+
+    # ---- MCMC: vmap chains × scan iters --------------------------------
+    def chain_fn(k, h0):
+        ks = jax.random.split(k, iters)
+
+        def body(h, kk):
+            h2 = sample_hypers(kk, h, x, y, mask, config.mcmc)
+            return h2, h2
+
+        return lax.scan(body, h0, ks)
+
+    h_last, samples = jax.vmap(chain_fn)(jax.random.split(k_chains, chains),
+                                         hypers)
+    flat = _flatten_samples(samples, s)
+
+    # ---- posterior caches (one Cholesky per sample, batched) -----------
+    if config.has_pending:
+        x_aug = jnp.concatenate([x, pend], axis=0)
+        mask_aug = jnp.concatenate([mask, pend_mask], axis=0)
+
+        def per_sample_cache(kk, h):
+            fant = fantasize(kk, x, y, mask, pend, pend_mask, h, kernel)
+            _, y_aug, _ = augment(x, y, mask, pend, pend_mask, fant)
+            # Padded-comp entries of y_aug are 0; mask handles them.
+            return ei_mod.make_cache(x_aug, y_aug, mask_aug, h, kernel)
+
+        caches = jax.vmap(per_sample_cache)(jax.random.split(k_fant, s), flat)
+        x_all, mask_all = x_aug, mask_aug
+    else:
+        caches = jax.vmap(
+            lambda h: ei_mod.make_cache(x, y, mask, h, kernel)
+        )(flat)
+        x_all, mask_all = x, mask
+
+    # ---- EI over the candidate grid ------------------------------------
+    ei_samples = jax.vmap(
+        lambda c: ei_mod.ei_from_cache(c, x_all, mask_all, cand, kernel)
+    )(caches)  # [S, C]
+    ei_mean = jnp.mean(ei_samples, axis=0)
+    ei_masked = jnp.where(cand_mask, ei_mean, -jnp.inf)
+    best_cand = jnp.argmax(ei_masked)
+    best_cand_ei = ei_masked[best_cand]
+
+    # ---- off-grid refinement: batched L-BFGS on sample-averaged EI -----
+    if config.optimize:
+        ksub = min(config.grid_subset, cand.shape[0])
+        _, top_idx = lax.top_k(ei_masked, ksub)
+        starts = cand[top_idx]
+
+        def neg_avg_ei(pt):
+            eis = jax.vmap(
+                lambda c: ei_mod.ei_from_cache(
+                    c, x_all, mask_all, pt[None], kernel
+                )[0]
+            )(caches)
+            return -jnp.mean(eis)
+
+        dim = cand.shape[1]
+        res = minimize_lbfgs_b(
+            neg_avg_ei, starts,
+            jnp.zeros(dim, cand.dtype), jnp.ones(dim, cand.dtype),
+            iters=config.lbfgs_iters,
+        )
+        best_lane = jnp.argmin(res.fun)
+        x_opt = res.x[best_lane]
+        ei_opt = -res.fun[best_lane]
+    else:
+        x_opt = cand[best_cand]
+        ei_opt = best_cand_ei
+
+    return SuggestResult(
+        hypers=h_last, samples=flat, ei=ei_mean,
+        best_cand=best_cand, best_cand_ei=best_cand_ei,
+        x_opt=x_opt, ei_opt=ei_opt,
+    )
+
+
+def init_chain_states(
+    y: jnp.ndarray, mask: jnp.ndarray, ndim: int, chains: int
+) -> GPHypers:
+    """Stack of identical reference-init states, one per chain."""
+    from spearmint_tpu.mcmc.chains import init_hypers
+
+    h = init_hypers(y, mask, ndim)
+    return jax.tree.map(lambda a: jnp.broadcast_to(a, (chains,) + a.shape), h)

@@ -1,0 +1,156 @@
+"""GP hyperparameter MCMC: one chain step + batched-chain utilities.
+
+Parity: ``GPEIOptChooser.sample_hypers`` / ``_sample_ls`` /
+``_sample_noisy`` / ``_sample_noiseless`` (reference ≈L200-260 per
+SURVEY.md §3.2).  Reference order of operations, kept exactly:
+
+  1. jointly slice-sample (mean, amp2[, noise]) along a random direction,
+     with flat-in-bounds mean, lognormal amp2, horseshoe noise priors;
+  2. component-wise slice-sample the ARD length scales under a tophat
+     (0, max_ls] prior.
+
+The reference runs ONE persistent chain and loops ``mcmc_iters`` times per
+suggestion; here a chain step is a pure function so ``vmap`` gives N
+independent chains (the TPU-native "chain parallelism" axis of
+SURVEY.md §2b) and ``lax.scan`` gives per-call iterations.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from spearmint_tpu.core import linalg, priors
+from spearmint_tpu.core.kernels import matern52
+from spearmint_tpu.core.likelihood import GPHypers, log_marginal
+from spearmint_tpu.mcmc.slice import slice_sample
+
+
+class MCMCConfig(NamedTuple):
+    """Static sampler configuration (hashable → usable as jit static arg)."""
+
+    noiseless: bool = False
+    max_ls: float = priors.MAX_LS
+    noise_scale: float = priors.NOISE_SCALE
+    amp2_scale: float = priors.AMP2_SCALE
+    kernel: Callable = matern52
+
+
+def init_hypers(y: jnp.ndarray, mask: jnp.ndarray, ndim: int) -> GPHypers:
+    """Reference ``_real_init`` state: ls=1, mean=mean(y), amp2=std(y)+1e-4,
+    noise=1e-3 (GPEIOptChooser ≈L90 [verify exact amp2 init])."""
+    dtype = y.dtype
+    return GPHypers(
+        mean=linalg.masked_mean(y, mask),
+        amp2=linalg.masked_std(y, mask) + jnp.asarray(1e-4, dtype),
+        noise=jnp.asarray(priors.DEFAULT_NOISE, dtype),
+        ls=jnp.ones((ndim,), dtype),
+    )
+
+
+def _joint_logprob(vec, x, y, mask, ls, config: MCMCConfig):
+    """Log posterior of (mean, amp2[, noise]) at fixed length scales."""
+    mean = vec[0]
+    amp2 = vec[1]
+    noise = vec[2] if not config.noiseless else jnp.asarray(
+        priors.DEFAULT_NOISE, vec.dtype
+    )
+    y_min = linalg.masked_min(y, mask)
+    y_max = linalg.masked_max(y, mask)
+    valid = (
+        priors.mean_in_bounds(mean, y_min, y_max) & (amp2 > 0.0) & (noise > 0.0)
+    )
+    amp2_s = jnp.where(amp2 > 0.0, amp2, 1.0)
+    noise_s = jnp.where(noise > 0.0, noise, 1.0)
+    lp = log_marginal(
+        x, y, mask, GPHypers(mean, amp2_s, noise_s, ls), config.kernel
+    )
+    lp = lp + priors.lognormal_amp2_term(amp2_s, config.amp2_scale)
+    if not config.noiseless:
+        lp = lp + priors.horseshoe_logpdf(noise_s, config.noise_scale)
+    return jnp.where(valid, lp, -jnp.inf)
+
+
+def _ls_logprob(ls, x, y, mask, hypers: GPHypers, config: MCMCConfig):
+    """Log posterior of ARD length scales under the tophat prior."""
+    valid = priors.ls_in_bounds(ls, config.max_ls)
+    ls_s = jnp.clip(ls, 1e-6, config.max_ls)
+    lp = log_marginal(
+        x, y, mask, GPHypers(hypers.mean, hypers.amp2, hypers.noise, ls_s),
+        config.kernel,
+    )
+    return jnp.where(valid, lp, -jnp.inf)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def sample_hypers(
+    key: jax.Array,
+    hypers: GPHypers,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    mask: jnp.ndarray,
+    config: MCMCConfig = MCMCConfig(),
+) -> GPHypers:
+    """One full hyperparameter sweep of a single chain."""
+    k_joint, k_ls = jax.random.split(key)
+
+    if config.noiseless:
+        vec0 = jnp.stack([hypers.mean, hypers.amp2])
+    else:
+        vec0 = jnp.stack([hypers.mean, hypers.amp2, hypers.noise])
+
+    def joint_lp(vec):
+        return _joint_logprob(vec, x, y, mask, hypers.ls, config)
+
+    vec = slice_sample(k_joint, vec0, joint_lp, compwise=False)
+    mean, amp2 = vec[0], vec[1]
+    noise = (
+        jnp.asarray(priors.DEFAULT_NOISE, vec.dtype)
+        if config.noiseless
+        else vec[2]
+    )
+
+    mid = GPHypers(mean, amp2, noise, hypers.ls)
+
+    def ls_lp(ls):
+        return _ls_logprob(ls, x, y, mask, mid, config)
+
+    ls = slice_sample(k_ls, hypers.ls, ls_lp, compwise=True)
+    return GPHypers(mean, amp2, noise, ls)
+
+
+def sample_hypers_batch(
+    keys: jax.Array,
+    hypers: GPHypers,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    mask: jnp.ndarray,
+    config: MCMCConfig = MCMCConfig(),
+) -> GPHypers:
+    """vmap of ``sample_hypers`` over a leading chains axis of keys/hypers."""
+    return jax.vmap(
+        lambda k, h: sample_hypers(k, h, x, y, mask, config)
+    )(keys, hypers)
+
+
+@partial(jax.jit, static_argnames=("config", "steps"))
+def burnin(
+    key: jax.Array,
+    hypers: GPHypers,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    mask: jnp.ndarray,
+    steps: int,
+    config: MCMCConfig = MCMCConfig(),
+) -> GPHypers:
+    """Reference burn-in (≈100 sweeps at first init), one chain."""
+
+    def body(h, k):
+        return sample_hypers(k, h, x, y, mask, config), None
+
+    keys = jax.random.split(key, steps)
+    out, _ = jax.lax.scan(body, hypers, keys)
+    return out

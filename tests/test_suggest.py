@@ -1,0 +1,102 @@
+"""End-to-end suggest_step behavior on a tiny problem."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spearmint_tpu.engine.suggest import (
+    SuggestConfig,
+    init_chain_states,
+    suggest_step,
+)
+
+
+def _branin_like(n, rng):
+    x = rng.rand(n, 2)
+    # smooth 2-D objective with a clear minimum near (0.3, 0.4)
+    y = ((x[:, 0] - 0.3) ** 2 + (x[:, 1] - 0.4) ** 2) * 10 + 0.05 * rng.randn(n)
+    return x.astype(np.float32), y.astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def tiny_problem():
+    rng = np.random.RandomState(42)
+    n, pad, c = 12, 16, 32
+    x, y = _branin_like(n, rng)
+    xp = np.zeros((pad, 2), np.float32); xp[:n] = x
+    yp = np.zeros(pad, np.float32); yp[:n] = y
+    mask = np.arange(pad) < n
+    cand = rng.rand(c, 2).astype(np.float32)
+    cand_mask = np.ones(c, bool)
+    pend = np.zeros((4, 2), np.float32)
+    pend_mask = np.zeros(4, bool)
+    return dict(x=jnp.array(xp), y=jnp.array(yp), mask=jnp.array(mask),
+                cand=jnp.array(cand), cand_mask=jnp.array(cand_mask),
+                pend=jnp.array(pend), pend_mask=jnp.array(pend_mask),
+                n=n, rng=rng)
+
+
+def test_suggest_runs_and_improves(tiny_problem):
+    p = tiny_problem
+    cfg = SuggestConfig(mcmc_iters=3, grid_subset=4, lbfgs_iters=15)
+    hypers = init_chain_states(p["y"], p["mask"], 2, chains=4)
+    res = suggest_step(jax.random.PRNGKey(0), hypers, p["x"], p["y"], p["mask"],
+                       p["pend"], p["pend_mask"], p["cand"], p["cand_mask"], cfg)
+    # chain states updated & finite
+    assert res.hypers.ls.shape == (4, 2)
+    for leaf in jax.tree.leaves(res.hypers):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+    # EI over candidates nonnegative, argmax consistent
+    ei = np.asarray(res.ei)
+    assert ei.shape == (32,)
+    assert np.all(ei >= -1e-6)
+    assert int(res.best_cand) == int(np.argmax(ei))
+    # optimized point in the unit box with EI >= grid EI (it refines top-k)
+    x_opt = np.asarray(res.x_opt)
+    assert np.all(x_opt >= 0) and np.all(x_opt <= 1)
+    assert float(res.ei_opt) >= float(res.best_cand_ei) - 1e-5
+    # samples: S = chains*iters
+    assert res.samples.ls.shape == (12, 2)
+
+
+def test_suggest_with_pending(tiny_problem):
+    p = tiny_problem
+    cfg = SuggestConfig(mcmc_iters=2, grid_subset=4, lbfgs_iters=10,
+                        has_pending=True)
+    hypers = init_chain_states(p["y"], p["mask"], 2, chains=2)
+    pend = jnp.array(np.array([[0.31, 0.41], [0.9, 0.9], [0, 0], [0, 0]],
+                              np.float32))
+    pend_mask = jnp.array([True, True, False, False])
+    res = suggest_step(jax.random.PRNGKey(1), hypers, p["x"], p["y"], p["mask"],
+                       pend, pend_mask, p["cand"], p["cand_mask"], cfg)
+    ei = np.asarray(res.ei)
+    assert np.all(np.isfinite(ei))
+    # fantasization suppresses EI near pending points: the candidate
+    # closest to a pending point should not be the argmax
+    d_to_pend = np.linalg.norm(
+        np.asarray(p["cand"])[:, None] - np.asarray(pend)[None, :2], axis=-1
+    ).min(1)
+    assert d_to_pend[int(res.best_cand)] > d_to_pend.min() - 1e-9
+
+
+def test_suggest_deterministic(tiny_problem):
+    p = tiny_problem
+    cfg = SuggestConfig(mcmc_iters=2, grid_subset=2, lbfgs_iters=5)
+    hypers = init_chain_states(p["y"], p["mask"], 2, chains=2)
+    args = (p["x"], p["y"], p["mask"], p["pend"], p["pend_mask"],
+            p["cand"], p["cand_mask"], cfg)
+    r1 = suggest_step(jax.random.PRNGKey(7), hypers, *args)
+    r2 = suggest_step(jax.random.PRNGKey(7), hypers, *args)
+    np.testing.assert_array_equal(np.asarray(r1.x_opt), np.asarray(r2.x_opt))
+    np.testing.assert_array_equal(np.asarray(r1.ei), np.asarray(r2.ei))
+
+
+def test_grid_only_mode(tiny_problem):
+    p = tiny_problem
+    cfg = SuggestConfig(mcmc_iters=2, optimize=False)
+    hypers = init_chain_states(p["y"], p["mask"], 2, chains=2)
+    res = suggest_step(jax.random.PRNGKey(0), hypers, p["x"], p["y"], p["mask"],
+                       p["pend"], p["pend_mask"], p["cand"], p["cand_mask"], cfg)
+    np.testing.assert_array_equal(
+        np.asarray(res.x_opt), np.asarray(p["cand"])[int(res.best_cand)])
