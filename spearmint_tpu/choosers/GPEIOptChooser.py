@@ -1,0 +1,204 @@
+"""GP-EI chooser with off-grid EI optimization — the flagship.
+
+Parity: reference ``chooser/GPEIOptChooser.py`` (≈480 LoC, SURVEY.md §2
+#3): fully-Bayesian Matérn-5/2 GP, slice-sampled hyperparameters
+(horseshoe noise / lognormal amp2 / tophat ls priors), EI averaged over
+hyperparameter samples, pending-job fantasization, L-BFGS off-grid EI
+refinement, and state checkpointing under the store lock.
+
+TPU-native differences (design, not behavior):
+  * the reference's ONE persistent sequential chain becomes ``chains``
+    independent vmapped chains (default 10), each advanced ``mcmc_iters``
+    steps per call — total EI-averaging samples = chains × mcmc_iters;
+  * all numerics live in one jitted ``suggest_step`` (engine/suggest.py);
+    this class is a thin host shell doing padding, state io, and the
+    grid-index bookkeeping;
+  * observation arrays are padded to power-of-two buckets so XLA compiles
+    O(log n) programs over an experiment's lifetime.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from spearmint_tpu.store.locker import Locker
+from spearmint_tpu.utils.args import unpack_args
+
+
+def init(expt_dir, arg_string=""):
+    return GPEIOptChooser(expt_dir, **unpack_args(arg_string))
+
+
+class GPEIOptChooser:
+    def __init__(
+        self,
+        expt_dir,
+        covar="Matern52",
+        mcmc_iters=10,
+        pending_samples=100,   # accepted for reference-arg parity (the
+                               # fantasy axis is one draw per sample here)
+        noiseless=0,
+        burnin=100,
+        grid_subset=20,
+        chains=10,
+        lbfgs_iters=50,
+        max_obs_pad=None,
+        seed=0,
+    ):
+        self.expt_dir = expt_dir
+        self.covar = str(covar)
+        self.mcmc_iters = int(mcmc_iters)
+        self.noiseless = bool(int(noiseless))
+        self.burnin_steps = int(burnin)
+        self.grid_subset = int(grid_subset)
+        self.chains = int(chains)
+        self.lbfgs_iters = int(lbfgs_iters)
+        self.max_obs_pad = max_obs_pad
+        self.seed = int(seed)
+        self.optimize = True  # GPEIChooser subclass flips this off
+        self.state_file = os.path.join(
+            expt_dir, f"{type(self).__name__}_state.npz"
+        )
+        self.locker = Locker(self.state_file)
+        self._hypers = None     # GPHypers pytree, leading chains axis
+        self._key = None
+        self._burned_in = False
+
+    # ------------------------------------------------------ state io
+    def _load_state(self, ndim):
+        import jax.numpy as jnp
+
+        from spearmint_tpu.core.likelihood import GPHypers
+
+        if self._hypers is not None:
+            return
+        with self.locker:
+            if os.path.exists(self.state_file):
+                with np.load(self.state_file) as z:
+                    if z["ls"].shape == (self.chains, ndim):
+                        self._hypers = GPHypers(
+                            mean=jnp.array(z["mean"]),
+                            amp2=jnp.array(z["amp2"]),
+                            noise=jnp.array(z["noise"]),
+                            ls=jnp.array(z["ls"]),
+                        )
+                        self._key_state = int(z["key_state"])
+                        self._burned_in = bool(z["burned_in"])
+                        return
+        self._key_state = self.seed
+        self._burned_in = False
+
+    def _save_state(self):
+        h = self._hypers
+        with self.locker:
+            tmp = self.state_file + ".tmp.npz"
+            np.savez(
+                tmp,
+                mean=np.asarray(h.mean), amp2=np.asarray(h.amp2),
+                noise=np.asarray(h.noise), ls=np.asarray(h.ls),
+                key_state=self._key_state, burned_in=self._burned_in,
+            )
+            os.replace(tmp, self.state_file)
+
+    # ------------------------------------------------------ the protocol
+    def next(self, grid, values, durations, candidates, pending, complete):
+        # Bootstrap exactly like the reference: fewer than 2 completions →
+        # just take the next grid candidate.
+        if len(complete) < 2:
+            return int(candidates[0])
+
+        import jax
+        import jax.numpy as jnp
+
+        from spearmint_tpu.core.linalg import pad_bucket
+        from spearmint_tpu.engine.suggest import (
+            SuggestConfig,
+            init_chain_states,
+            suggest_step,
+        )
+        from spearmint_tpu.mcmc.chains import MCMCConfig, sample_hypers
+
+        grid = np.asarray(grid)
+        ndim = grid.shape[1]
+        comp = grid[complete].astype(np.float32)
+        vals = np.asarray(values)[complete].astype(np.float32)
+        pend = grid[pending].astype(np.float32)
+        cand = grid[candidates].astype(np.float32)
+
+        n = comp.shape[0]
+        pad = pad_bucket(n)
+        if self.max_obs_pad:
+            pad = min(pad, int(self.max_obs_pad))
+            if n > pad:  # subsample most recent observations
+                comp, vals = comp[-pad:], vals[-pad:]
+                n = pad
+        xp = np.zeros((pad, ndim), np.float32); xp[:n] = comp
+        yp = np.zeros(pad, np.float32); yp[:n] = vals
+        mask = np.arange(pad) < n
+
+        p = pend.shape[0]
+        ppad = max(4, pad_bucket(max(p, 1), minimum=4))
+        pend_p = np.zeros((ppad, ndim), np.float32)
+        pend_p[:p] = pend
+        pend_mask = np.arange(ppad) < p
+
+        c = cand.shape[0]
+        cpad = pad_bucket(c, minimum=64)
+        cand_p = np.zeros((cpad, ndim), np.float32)
+        cand_p[:c] = cand
+        cand_mask = np.arange(cpad) < c
+
+        xj, yj, mj = jnp.array(xp), jnp.array(yp), jnp.array(mask)
+
+        self._load_state(ndim)
+        key = jax.random.PRNGKey(self._key_state)
+        if self._hypers is None:
+            self._hypers = init_chain_states(yj, mj, ndim, self.chains)
+        if not self._burned_in and self.burnin_steps > 0:
+            key, kb = jax.random.split(key)
+            mcfg = MCMCConfig(noiseless=self.noiseless)
+
+            def burn_chain(k, h):
+                def body(hh, kk):
+                    return sample_hypers(kk, hh, xj, yj, mj, mcfg), None
+                out, _ = jax.lax.scan(
+                    body, h, jax.random.split(k, self.burnin_steps)
+                )
+                return out
+
+            self._hypers = jax.jit(jax.vmap(burn_chain))(
+                jax.random.split(kb, self.chains), self._hypers
+            )
+            self._burned_in = True
+
+        cfg = SuggestConfig(
+            mcmc_iters=self.mcmc_iters,
+            noiseless=self.noiseless,
+            kernel_name=self.covar,
+            grid_subset=self.grid_subset,
+            lbfgs_iters=self.lbfgs_iters,
+            optimize=self.optimize,
+            has_pending=p > 0,
+        )
+        key, ks = jax.random.split(key)
+        res = suggest_step(
+            ks, self._hypers, xj, yj, mj,
+            jnp.array(pend_p), jnp.array(pend_mask),
+            jnp.array(cand_p), jnp.array(cand_mask), cfg,
+        )
+        self._hypers = res.hypers
+        self._key_state += 1
+        self._save_state()
+
+        best_cand_local = int(res.best_cand)
+        best_cand_ei = float(res.best_cand_ei)
+        ei_opt = float(res.ei_opt)
+        x_opt = np.asarray(res.x_opt, dtype=np.float64)
+
+        # Reference decision: take the optimized point only if it beats
+        # the best grid candidate's EI.
+        if self.optimize and ei_opt > best_cand_ei and np.all(np.isfinite(x_opt)):
+            return float(ei_opt), x_opt
+        return int(candidates[best_cand_local])
