@@ -119,6 +119,9 @@ class GPEIOptChooser:
             suggest_step,
         )
         from spearmint_tpu.mcmc.chains import MCMCConfig, sample_hypers
+        from spearmint_tpu.utils.platform import ensure_backend
+
+        ensure_backend()
 
         grid = np.asarray(grid)
         ndim = grid.shape[1]

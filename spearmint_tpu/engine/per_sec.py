@@ -1,0 +1,144 @@
+"""Cost-aware suggestion: EI per expected second (dual-GP acquisition).
+
+Parity: reference ``GPEIperSecChooser`` (≈450 LoC, SURVEY.md §2 #4):
+a second GP is fit to **log job durations** with its own hyperparameter
+set (``time_ls``, ``time_amp2``, ``time_noise``, ``time_mean``) sampled
+by the same slice-sampling machinery; the acquisition is
+EI(x) / E[seconds](x) with E[seconds] = exp(posterior mean of the
+log-duration GP).  Pending jobs are fantasized against the *value* GP
+exactly as in the flagship; durations of pending jobs are unknown and
+the duration GP trains on completed jobs only.
+
+TPU shape: both chain families advance in the same jitted program —
+value chains and time chains are one vmap with a doubled state, so the
+dual-GP Choleskys batch together on the MXU.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from spearmint_tpu.acquire import ei as ei_mod
+from spearmint_tpu.acquire.fantasy import augment, fantasize
+from spearmint_tpu.acquire.optimize import minimize_lbfgs_b
+from spearmint_tpu.core.likelihood import GPHypers
+from spearmint_tpu.engine.suggest import SuggestConfig, _flatten_samples
+from spearmint_tpu.mcmc.chains import sample_hypers
+
+
+class PerSecResult(NamedTuple):
+    hypers: GPHypers        # value-GP chain states
+    time_hypers: GPHypers   # duration-GP chain states
+    ei_per_s: jnp.ndarray   # [C] sample-averaged EI/sec on candidates
+    best_cand: jnp.ndarray
+    best_cand_ei: jnp.ndarray
+    x_opt: jnp.ndarray
+    ei_opt: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("config",))
+def suggest_step_per_sec(
+    key: jax.Array,
+    hypers: GPHypers,           # [chains, ...] value-GP states
+    time_hypers: GPHypers,      # [chains, ...] duration-GP states
+    x: jnp.ndarray,             # [N, D] padded observations
+    y: jnp.ndarray,             # [N] objective values
+    log_durs: jnp.ndarray,      # [N] log durations (same mask)
+    mask: jnp.ndarray,
+    pend: jnp.ndarray,
+    pend_mask: jnp.ndarray,
+    cand: jnp.ndarray,
+    cand_mask: jnp.ndarray,
+    config: SuggestConfig = SuggestConfig(),
+) -> PerSecResult:
+    chains = hypers.mean.shape[0]
+    iters = config.mcmc_iters
+    s = chains * iters
+    kernel = config.kernel
+    k_val, k_time, k_fant = jax.random.split(key, 3)
+
+    def chain_scan(k, h0, data):
+        ks = jax.random.split(k, iters)
+
+        def body(h, kk):
+            h2 = sample_hypers(kk, h, x, data, mask, config.mcmc)
+            return h2, h2
+
+        return lax.scan(body, h0, ks)
+
+    h_last, samples = jax.vmap(lambda k, h: chain_scan(k, h, y))(
+        jax.random.split(k_val, chains), hypers)
+    t_last, t_samples = jax.vmap(lambda k, h: chain_scan(k, h, log_durs))(
+        jax.random.split(k_time, chains), time_hypers)
+    flat = _flatten_samples(samples, s)
+    t_flat = _flatten_samples(t_samples, s)
+
+    # --- value-GP caches (with fantasies when pending) ------------------
+    if config.has_pending:
+        x_aug = jnp.concatenate([x, pend], axis=0)
+        mask_aug = jnp.concatenate([mask, pend_mask], axis=0)
+
+        def val_cache(kk, h):
+            fant = fantasize(kk, x, y, mask, pend, pend_mask, h, kernel)
+            _, y_aug, _ = augment(x, y, mask, pend, pend_mask, fant)
+            return ei_mod.make_cache(x_aug, y_aug, mask_aug, h, kernel)
+
+        caches = jax.vmap(val_cache)(jax.random.split(k_fant, s), flat)
+        x_all, mask_all = x_aug, mask_aug
+    else:
+        caches = jax.vmap(
+            lambda h: ei_mod.make_cache(x, y, mask, h, kernel))(flat)
+        x_all, mask_all = x, mask
+
+    # --- duration-GP caches (completed data only) -----------------------
+    t_caches = jax.vmap(
+        lambda h: ei_mod.make_cache(x, log_durs, mask, h, kernel))(t_flat)
+
+    def ei_per_s_at(cand_pts):
+        """[S]-sample-paired EI/sec at candidate points → [S, C']."""
+        eis = jax.vmap(
+            lambda c: ei_mod.ei_from_cache(c, x_all, mask_all, cand_pts,
+                                           kernel)
+        )(caches)
+        mus = jax.vmap(
+            lambda c: ei_mod.posterior_from_cache(c, x, mask, cand_pts,
+                                                  kernel)[0]
+        )(t_caches)
+        # E[seconds] = exp(posterior mean of log duration); floor avoids
+        # division blow-ups for predicted sub-millisecond jobs.
+        return eis / jnp.maximum(jnp.exp(mus), 1e-3)
+
+    ei_samples = ei_per_s_at(cand)           # [S, C]
+    ei_mean = jnp.mean(ei_samples, axis=0)
+    ei_masked = jnp.where(cand_mask, ei_mean, -jnp.inf)
+    best_cand = jnp.argmax(ei_masked)
+    best_cand_ei = ei_masked[best_cand]
+
+    if config.optimize:
+        ksub = min(config.grid_subset, cand.shape[0])
+        _, top_idx = lax.top_k(ei_masked, ksub)
+        starts = cand[top_idx]
+
+        def neg_avg(pt):
+            return -jnp.mean(ei_per_s_at(pt[None])[:, 0])
+
+        dim = cand.shape[1]
+        res = minimize_lbfgs_b(
+            neg_avg, starts, jnp.zeros(dim, cand.dtype),
+            jnp.ones(dim, cand.dtype), iters=config.lbfgs_iters,
+        )
+        lane = jnp.argmin(res.fun)
+        x_opt, ei_opt = res.x[lane], -res.fun[lane]
+    else:
+        x_opt, ei_opt = cand[best_cand], best_cand_ei
+
+    return PerSecResult(
+        hypers=h_last, time_hypers=t_last, ei_per_s=ei_mean,
+        best_cand=best_cand, best_cand_ei=best_cand_ei,
+        x_opt=x_opt, ei_opt=ei_opt,
+    )

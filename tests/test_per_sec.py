@@ -1,0 +1,68 @@
+"""EI-per-second: dual-GP acquisition prefers cheap regions at equal EI."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from argparse import Namespace
+
+from spearmint_tpu.engine.per_sec import suggest_step_per_sec
+from spearmint_tpu.engine.suggest import SuggestConfig, init_chain_states
+
+
+def _problem(rng, n=16, pad=16):
+    x = rng.rand(n, 2).astype(np.float32)
+    # objective symmetric in x0 -> EI roughly equal left/right
+    y = (10 * (x[:, 1] - 0.5) ** 2 + 0.05 * rng.randn(n)).astype(np.float32)
+    # duration strongly increasing in x0: right half is expensive
+    log_d = (5.0 * x[:, 0]).astype(np.float32)
+    return x, y, log_d
+
+
+def test_per_sec_prefers_cheap_side():
+    rng = np.random.RandomState(0)
+    x, y, log_d = _problem(rng)
+    pad = 16
+    mask = jnp.ones(pad, bool)
+    xj, yj, tj = jnp.array(x), jnp.array(y), jnp.array(log_d)
+    cand = rng.rand(64, 2).astype(np.float32)
+    cfg = SuggestConfig(mcmc_iters=3, optimize=False)
+    h = init_chain_states(yj, mask, 2, chains=4)
+    t = init_chain_states(tj, mask, 2, chains=4)
+    res = suggest_step_per_sec(
+        jax.random.PRNGKey(0), h, t, xj, yj, tj, mask,
+        jnp.zeros((4, 2), jnp.float32), jnp.zeros(4, bool),
+        jnp.array(cand), jnp.ones(64, bool), cfg,
+    )
+    ei_ps = np.asarray(res.ei_per_s)
+    assert np.all(np.isfinite(ei_ps))
+    left = ei_ps[cand[:, 0] < 0.4].mean()
+    right = ei_ps[cand[:, 0] > 0.6].mean()
+    assert left > 3 * right, (left, right)
+    # the suggested candidate is on the cheap side
+    assert cand[int(res.best_cand), 0] < 0.5
+
+
+def test_per_sec_chooser_protocol(tmp_path):
+    from spearmint_tpu.choosers import get_chooser
+
+    rng = np.random.RandomState(1)
+    chooser = get_chooser(
+        "GPEIperSecChooser", str(tmp_path),
+        "mcmc_iters=2,chains=3,grid_subset=3,lbfgs_iters=8",
+    )
+    grid = rng.rand(40, 2)
+    values = np.full(40, np.nan)
+    durs = np.full(40, np.nan)
+    complete = np.arange(10)
+    values[complete] = rng.randn(10)
+    durs[complete] = np.exp(2 * grid[complete, 0])
+    candidates = np.arange(10, 40)
+    out = chooser.next(grid, values, durs, candidates, [], complete)
+    assert isinstance(out, (int, tuple))
+    if isinstance(out, tuple):
+        ei, pt = out
+        assert pt.shape == (2,) and 0 <= pt.min() and pt.max() <= 1
+    # state checkpoint includes both hyper sets
+    import os
+    z = np.load(os.path.join(str(tmp_path), "GPEIperSecChooser_state.npz"))
+    assert "time_ls" in z and z["time_ls"].shape == (3, 2)
