@@ -109,3 +109,29 @@ def ei_from_cache(
     """EI reusing a precomputed factorization (EI-optimization inner loop)."""
     mu, var = posterior_from_cache(cache, x, mask, cand, kernel)
     return _ei_from_moments(mu, var, cache.best)
+
+
+def ei_from_cache_chunked(
+    cache: PosteriorCache,
+    x: jnp.ndarray,
+    mask: jnp.ndarray,
+    cand: jnp.ndarray,
+    kernel: Callable = matern52,
+    chunk: int = 512,
+) -> jnp.ndarray:
+    """EI over a large candidate set, chunked to bound HBM temps.
+
+    The n×C triangular solve allocates O(S·n·C) of blocked-solve
+    temporaries; at n=8k, C=2k, S=10 samples that overflows a 16 GB HBM.
+    ``lax.map`` over candidate chunks caps the live temp at O(S·n·chunk)
+    while keeping each chunk MXU-sized.  Exact same values as the
+    unchunked path.
+    """
+    c = cand.shape[0]
+    if c <= chunk or c % chunk != 0:
+        return ei_from_cache(cache, x, mask, cand, kernel)
+    chunks = cand.reshape(c // chunk, chunk, cand.shape[1])
+    out = jax.lax.map(
+        lambda cc: ei_from_cache(cache, x, mask, cc, kernel), chunks
+    )
+    return out.reshape(c)

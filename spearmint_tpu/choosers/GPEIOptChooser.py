@@ -127,6 +127,13 @@ class GPEIOptChooser:
         ndim = grid.shape[1]
         comp = grid[complete].astype(np.float32)
         vals = np.asarray(values)[complete].astype(np.float32)
+        # NaN objectives are constraint violations; this unconstrained
+        # chooser simply drops them (GPConstrainedEIChooser models them).
+        finite = np.isfinite(vals)
+        if not np.all(finite):
+            comp, vals = comp[finite], vals[finite]
+            if comp.shape[0] < 2:
+                return int(candidates[0])
         pend = grid[pending].astype(np.float32)
         cand = grid[candidates].astype(np.float32)
 

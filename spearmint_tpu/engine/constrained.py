@@ -1,0 +1,217 @@
+"""Constrained EI: probit latent-GP constraint classifier weighting EI.
+
+Parity: reference ``chooser/GPConstrainedEIChooser.py`` (≈500 LoC,
+SURVEY.md §2 #17; weighting mechanism marked [verify] there — this is
+the standard construction): evaluations that *violate* a constraint
+(signalled by a NaN objective value) carry a binary label; a latent GP
+``f`` with a probit likelihood P(valid|f)=Φ(f) classifies the space, and
+the acquisition becomes
+
+    EI_valid(x) · Φ( μ_f(x) / sqrt(1 + σ²_f(x)) )
+
+where EI_valid is ordinary EI on the *valid* observations only and the
+second factor is the probit predictive probability of feasibility.
+
+Sampling: latent values by elliptical slice sampling (mcmc/ess.py) under
+the probit likelihood; constraint-GP length scales by the same scalar
+slice sampler used everywhere, against the latent vector's GP prior
+density.  All of it vmapped over chains in one jitted program.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from spearmint_tpu.acquire import ei as ei_mod
+from spearmint_tpu.acquire.optimize import minimize_lbfgs_b
+from spearmint_tpu.core import linalg, priors
+from spearmint_tpu.core.likelihood import GPHypers, JITTER
+from spearmint_tpu.engine.suggest import SuggestConfig, _flatten_samples
+from spearmint_tpu.mcmc.chains import sample_hypers
+from spearmint_tpu.mcmc.ess import elliptical_slice
+from spearmint_tpu.mcmc.slice import slice_sample
+
+
+class ConstraintState(NamedTuple):
+    """Per-chain constraint model state."""
+
+    ls: jnp.ndarray     # (D,) constraint-GP length scales
+    amp2: jnp.ndarray   # scalar amplitude
+    ff: jnp.ndarray     # (N,) latent values at observed points
+
+
+class ConstrainedResult(NamedTuple):
+    hypers: GPHypers
+    constraint: ConstraintState
+    acq: jnp.ndarray           # [C] weighted acquisition on candidates
+    p_valid: jnp.ndarray       # [C] mean feasibility probability
+    best_cand: jnp.ndarray
+    best_cand_acq: jnp.ndarray
+    x_opt: jnp.ndarray
+    acq_opt: jnp.ndarray
+
+
+def _constraint_cov(x, mask, ls, amp2, kernel):
+    n = x.shape[0]
+    eye = jnp.eye(n, dtype=x.dtype)
+    k = amp2 * (kernel(x, x, ls) + JITTER * eye)
+    return linalg.mask_psd_matrix(k, mask)
+
+
+def _probit_loglik(ff, z, mask):
+    """Σ log Φ(z·f) over observed points (z=+1 valid, −1 invalid)."""
+    lp = jax.scipy.stats.norm.logcdf(z * ff)
+    return jnp.sum(jnp.where(mask, lp, 0.0))
+
+
+def _sample_constraint(key, state: ConstraintState, x, z, mask, kernel,
+                       max_ls, ess_sweeps=4):
+    """One constraint-model sweep: latent ESS moves + ls slice move."""
+    k_ess, k_ls = jax.random.split(key)
+
+    cov = _constraint_cov(x, mask, state.ls, state.amp2, kernel)
+    chol = jnp.linalg.cholesky(cov)
+
+    def ess_body(ff, kk):
+        ff2 = elliptical_slice(kk, ff, chol,
+                               lambda f: _probit_loglik(f, z, mask))
+        return ff2, None
+
+    ff, _ = lax.scan(ess_body, state.ff, jax.random.split(k_ess, ess_sweeps))
+    ff = jnp.where(mask, ff, 0.0)
+
+    def ls_logprob(ls):
+        valid = priors.ls_in_bounds(ls, max_ls)
+        ls_s = jnp.clip(ls, 1e-6, max_ls)
+        k = _constraint_cov(x, mask, ls_s, state.amp2, kernel)
+        ch = jnp.linalg.cholesky(k)
+        alpha = linalg.chol_solve(ch, ff)
+        lp = -linalg.logdet_from_chol(ch) - 0.5 * jnp.dot(ff, alpha)
+        lp = jnp.where(jnp.isnan(lp), -jnp.inf, lp)
+        return jnp.where(valid, lp, -jnp.inf)
+
+    ls = slice_sample(k_ls, state.ls, ls_logprob, compwise=True)
+    return ConstraintState(ls=ls, amp2=state.amp2, ff=ff)
+
+
+def _p_valid_at(state: ConstraintState, x, mask, cand, kernel):
+    """Probit predictive feasibility probability at candidate points."""
+    cov = _constraint_cov(x, mask, state.ls, state.amp2, kernel)
+    chol = jnp.linalg.cholesky(cov)
+    kx = state.amp2 * kernel(x, cand, state.ls) * mask[:, None]
+    alpha = linalg.chol_solve(chol, state.ff)
+    mu = kx.T @ alpha
+    beta = linalg.tri_solve(chol, kx)
+    var = state.amp2 * (1.0 + JITTER) - jnp.sum(beta * beta, axis=0)
+    var = jnp.maximum(var, 1e-10)
+    return jax.scipy.stats.norm.cdf(mu / jnp.sqrt(1.0 + var))
+
+
+@partial(jax.jit, static_argnames=("config",))
+def suggest_step_constrained(
+    key: jax.Array,
+    hypers: GPHypers,            # [chains, ...] value-GP states
+    constraint: ConstraintState,  # [chains, ...] constraint states
+    x: jnp.ndarray,              # [N, D] ALL observed points (padded)
+    y: jnp.ndarray,              # [N] values (0 where invalid/padded)
+    valid_mask: jnp.ndarray,     # [N] finite-objective observations
+    obs_mask: jnp.ndarray,       # [N] any completed observation
+    cand: jnp.ndarray,
+    cand_mask: jnp.ndarray,
+    config: SuggestConfig = SuggestConfig(),
+) -> ConstrainedResult:
+    chains = hypers.mean.shape[0]
+    iters = config.mcmc_iters
+    s = chains * iters
+    kernel = config.kernel
+    k_val, k_con = jax.random.split(key)
+
+    # probit labels over completed points
+    z = jnp.where(valid_mask, 1.0, -1.0).astype(x.dtype)
+
+    # --- value GP over valid observations -------------------------------
+    def chain_fn(k, h0):
+        ks = jax.random.split(k, iters)
+
+        def body(h, kk):
+            h2 = sample_hypers(kk, h, x, y, valid_mask, config.mcmc)
+            return h2, h2
+
+        return lax.scan(body, h0, ks)
+
+    h_last, samples = jax.vmap(chain_fn)(
+        jax.random.split(k_val, chains), hypers)
+    flat = _flatten_samples(samples, s)
+    caches = jax.vmap(
+        lambda h: ei_mod.make_cache(x, y, valid_mask, h, kernel))(flat)
+
+    # --- constraint model over all observations -------------------------
+    def con_chain(k, c0):
+        ks = jax.random.split(k, iters)
+
+        def body(c, kk):
+            c2 = _sample_constraint(kk, c, x, z, obs_mask, kernel,
+                                    config.max_ls)
+            return c2, c2
+
+        return lax.scan(body, c0, ks)
+
+    c_last, c_samples = jax.vmap(con_chain)(
+        jax.random.split(k_con, chains), constraint)
+    c_flat = _flatten_samples(c_samples, s)
+
+    def acq_at(pts):
+        eis = jax.vmap(
+            lambda c: ei_mod.ei_from_cache(c, x, valid_mask, pts, kernel)
+        )(caches)                                        # [S, C']
+        pv = jax.vmap(
+            lambda c: _p_valid_at(c, x, obs_mask, pts, kernel)
+        )(c_flat)                                        # [S, C']
+        return eis * pv, pv
+
+    acq_samples, pv_samples = acq_at(cand)
+    acq_mean = jnp.mean(acq_samples, axis=0)
+    pv_mean = jnp.mean(pv_samples, axis=0)
+    acq_masked = jnp.where(cand_mask, acq_mean, -jnp.inf)
+    best_cand = jnp.argmax(acq_masked)
+    best_cand_acq = acq_masked[best_cand]
+
+    if config.optimize:
+        ksub = min(config.grid_subset, cand.shape[0])
+        _, top_idx = lax.top_k(acq_masked, ksub)
+        starts = cand[top_idx]
+
+        def neg_acq(pt):
+            a, _ = acq_at(pt[None])
+            return -jnp.mean(a[:, 0])
+
+        dim = cand.shape[1]
+        res = minimize_lbfgs_b(
+            neg_acq, starts, jnp.zeros(dim, cand.dtype),
+            jnp.ones(dim, cand.dtype), iters=config.lbfgs_iters)
+        lane = jnp.argmin(res.fun)
+        x_opt, acq_opt = res.x[lane], -res.fun[lane]
+    else:
+        x_opt, acq_opt = cand[best_cand], best_cand_acq
+
+    return ConstrainedResult(
+        hypers=h_last, constraint=c_last, acq=acq_mean, p_valid=pv_mean,
+        best_cand=best_cand, best_cand_acq=best_cand_acq,
+        x_opt=x_opt, acq_opt=acq_opt,
+    )
+
+
+def init_constraint_states(ndim: int, n_pad: int, chains: int,
+                           dtype=jnp.float32) -> ConstraintState:
+    one = ConstraintState(
+        ls=jnp.ones((ndim,), dtype),
+        amp2=jnp.asarray(1.0, dtype),
+        ff=jnp.zeros((n_pad,), dtype),
+    )
+    return jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (chains,) + a.shape), one)

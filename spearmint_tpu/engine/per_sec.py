@@ -102,8 +102,8 @@ def suggest_step_per_sec(
     def ei_per_s_at(cand_pts):
         """[S]-sample-paired EI/sec at candidate points → [S, C']."""
         eis = jax.vmap(
-            lambda c: ei_mod.ei_from_cache(c, x_all, mask_all, cand_pts,
-                                           kernel)
+            lambda c: ei_mod.ei_from_cache_chunked(c, x_all, mask_all,
+                                                   cand_pts, kernel)
         )(caches)
         mus = jax.vmap(
             lambda c: ei_mod.posterior_from_cache(c, x, mask, cand_pts,

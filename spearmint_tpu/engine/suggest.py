@@ -134,9 +134,10 @@ def suggest_step(
         )(flat)
         x_all, mask_all = x, mask
 
-    # ---- EI over the candidate grid ------------------------------------
+    # ---- EI over the candidate grid (chunked to bound HBM temps) -------
     ei_samples = jax.vmap(
-        lambda c: ei_mod.ei_from_cache(c, x_all, mask_all, cand, kernel)
+        lambda c: ei_mod.ei_from_cache_chunked(c, x_all, mask_all, cand,
+                                               kernel)
     )(caches)  # [S, C]
     ei_mean = jnp.mean(ei_samples, axis=0)
     ei_masked = jnp.where(cand_mask, ei_mean, -jnp.inf)

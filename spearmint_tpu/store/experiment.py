@@ -146,12 +146,17 @@ class ExperimentGrid:
         return int(self.proc_ids[job_id])
 
     def get_best(self):
-        """(best_value, best_index) over complete jobs; (nan, -1) if none."""
+        """(best_value, best_index) over complete jobs; (nan, -1) if none.
+
+        NaN values (constraint violations, see GPConstrainedEIChooser)
+        are never the best."""
         complete = self.get_complete()
         if len(complete) == 0:
             return np.nan, -1
         vals = self.values[complete]
-        i = int(np.argmin(vals))
+        if not np.any(np.isfinite(vals)):
+            return np.nan, -1
+        i = int(np.nanargmin(vals))
         return float(vals[i]), int(complete[i])
 
     # --------------------------------------------- unit coords ↔ params

@@ -1,0 +1,95 @@
+"""Constrained EI: ESS sampler correctness + feasibility weighting steers
+suggestions away from the violating region."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.stats as sps
+
+from spearmint_tpu.engine.constrained import (
+    init_constraint_states,
+    suggest_step_constrained,
+)
+from spearmint_tpu.engine.suggest import SuggestConfig, init_chain_states
+from spearmint_tpu.mcmc.ess import elliptical_slice
+
+
+def test_ess_samples_gaussian_posterior():
+    """Prior N(0, I), likelihood N(obs | f, s²) → known Gaussian posterior."""
+    n = 3
+    obs = jnp.array([1.0, -0.5, 2.0])
+    s2 = 0.5
+    chol = jnp.eye(n)
+
+    def log_lik(f):
+        return -0.5 * jnp.sum((obs - f) ** 2) / s2
+
+    key = jax.random.PRNGKey(0)
+    f = jnp.zeros(n)
+    samples = []
+    step = jax.jit(lambda k, f: elliptical_slice(k, f, chol, log_lik))
+    for i in range(3000):
+        key, k = jax.random.split(key)
+        f = step(k, f)
+        if i >= 500:
+            samples.append(np.asarray(f))
+    samples = np.array(samples)
+    # posterior: mean = obs/(1+s2), var = s2/(1+s2)
+    want_mean = np.asarray(obs) / (1 + s2)
+    want_std = np.sqrt(s2 / (1 + s2))
+    np.testing.assert_allclose(samples.mean(0), want_mean, atol=0.1)
+    np.testing.assert_allclose(samples.std(0), want_std, atol=0.1)
+    # distributional check on one coordinate
+    _, p = sps.kstest((samples[::10, 0] - want_mean[0]) / want_std, "norm")
+    assert p > 0.005, p
+
+
+def test_constrained_avoids_violating_region():
+    rng = np.random.RandomState(0)
+    n, pad = 24, 32
+    x = rng.rand(n, 2).astype(np.float32)
+    # objective improves toward x0=1, but x0>0.6 is infeasible (NaN)
+    valid = x[:, 0] <= 0.6
+    y_raw = 5.0 * (1.0 - x[:, 0]) + 0.05 * rng.randn(n)
+    y = np.where(valid, y_raw, 0.0).astype(np.float32)
+
+    xp = np.zeros((pad, 2), np.float32); xp[:n] = x
+    yp = np.zeros(pad, np.float32); yp[:n] = y
+    obs_mask = np.arange(pad) < n
+    valid_mask = np.zeros(pad, bool); valid_mask[:n] = valid
+
+    cand = rng.rand(64, 2).astype(np.float32)
+    cfg = SuggestConfig(mcmc_iters=3, optimize=False)
+    h = init_chain_states(jnp.array(yp), jnp.array(valid_mask), 2, chains=4)
+    c = init_constraint_states(2, pad, chains=4)
+    res = suggest_step_constrained(
+        jax.random.PRNGKey(0), h, c, jnp.array(xp), jnp.array(yp),
+        jnp.array(valid_mask), jnp.array(obs_mask),
+        jnp.array(cand), jnp.ones(64, bool), cfg,
+    )
+    pv = np.asarray(res.p_valid)
+    assert np.all(np.isfinite(pv)) and np.all((pv >= 0) & (pv <= 1))
+    # classifier learned the split
+    assert pv[cand[:, 0] < 0.4].mean() > pv[cand[:, 0] > 0.8].mean() + 0.15
+    # suggestion respects feasibility: not deep in the violating region
+    assert cand[int(res.best_cand), 0] < 0.8
+
+
+def test_constrained_chooser_protocol(tmp_path):
+    from spearmint_tpu.choosers import get_chooser
+
+    rng = np.random.RandomState(1)
+    chooser = get_chooser(
+        "GPConstrainedEIChooser", str(tmp_path),
+        "mcmc_iters=2,chains=3,grid_subset=3,lbfgs_iters=8",
+    )
+    grid = rng.rand(40, 2)
+    values = np.full(40, np.nan)
+    complete = np.arange(12)
+    vals = 2.0 * grid[complete, 1] + 0.1 * rng.randn(12)
+    vals[grid[complete, 0] > 0.5] = np.nan  # violations
+    values[complete] = vals
+    candidates = np.arange(12, 40)
+    out = chooser.next(grid, values, np.full(40, np.nan), candidates, [],
+                       complete)
+    assert isinstance(out, (int, tuple))
