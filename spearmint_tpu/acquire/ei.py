@@ -128,10 +128,17 @@ def ei_from_cache_chunked(
     unchunked path.
     """
     c = cand.shape[0]
-    if c <= chunk or c % chunk != 0:
+    if c <= chunk:
         return ei_from_cache(cache, x, mask, cand, kernel)
-    chunks = cand.reshape(c // chunk, chunk, cand.shape[1])
+    n_chunks = -(-c // chunk)
+    padded = n_chunks * chunk
+    if padded != c:  # pad with the first candidate; extra rows discarded
+        cand = jnp.concatenate(
+            [cand, jnp.broadcast_to(cand[:1], (padded - c, cand.shape[1]))],
+            axis=0,
+        )
+    chunks = cand.reshape(n_chunks, chunk, cand.shape[1])
     out = jax.lax.map(
         lambda cc: ei_from_cache(cache, x, mask, cc, kernel), chunks
     )
-    return out.reshape(c)
+    return out.reshape(padded)[:c]

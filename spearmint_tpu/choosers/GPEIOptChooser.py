@@ -62,6 +62,9 @@ class GPEIOptChooser:
             expt_dir, f"{type(self).__name__}_state.npz"
         )
         self.locker = Locker(self.state_file)
+        from spearmint_tpu.utils.events import EventLog
+
+        self.events = EventLog(expt_dir)
         self._hypers = None     # GPHypers pytree, leading chains axis
         self._key = None
         self._burned_in = False
@@ -192,15 +195,27 @@ class GPEIOptChooser:
             optimize=self.optimize,
             has_pending=p > 0,
         )
+        import time as _time
+
         key, ks = jax.random.split(key)
+        t0 = _time.perf_counter()
         res = suggest_step(
             ks, self._hypers, xj, yj, mj,
             jnp.array(pend_p), jnp.array(pend_mask),
             jnp.array(cand_p), jnp.array(cand_mask), cfg,
         )
+        jax.block_until_ready(res.ei)
+        latency = _time.perf_counter() - t0
         self._hypers = res.hypers
         self._key_state += 1
         self._save_state()
+        self.events.emit(
+            "suggest", chooser=type(self).__name__, latency_s=round(latency, 4),
+            n_obs=int(n), n_pending=int(p), n_cand=int(c),
+            ei_best=float(res.best_cand_ei), ei_opt=float(res.ei_opt),
+            amp2_med=float(np.median(np.asarray(res.hypers.amp2))),
+            noise_med=float(np.median(np.asarray(res.hypers.noise))),
+        )
 
         best_cand_local = int(res.best_cand)
         best_cand_ei = float(res.best_cand_ei)

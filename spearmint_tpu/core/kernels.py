@@ -94,9 +94,14 @@ KERNELS = {
 
 
 def get_kernel(name: str):
+    if name == "Matern52Pallas":  # fused TPU kernel, lazy to avoid cycles
+        from spearmint_tpu.ops.pallas_kernels import matern52_pallas_kernelfn
+
+        return matern52_pallas_kernelfn
     try:
         return KERNELS[name]
     except KeyError:
         raise ValueError(
-            f"unknown kernel {name!r}; available: {sorted(KERNELS)}"
+            f"unknown kernel {name!r}; available: "
+            f"{sorted(KERNELS) + ['Matern52Pallas']}"
         ) from None

@@ -86,4 +86,10 @@ def record_best(grid: ExperimentGrid) -> tuple[float, int]:
             f.write(f"Best result: {best_val:.8g}\nJob-id: {best_id}\n"
                     f"Parameters: {grid.unit_to_list(best_id)}\n")
         os.replace(tmp, path)
+        from spearmint_tpu.utils.events import EventLog
+
+        EventLog(grid.expt_dir).emit(
+            "best", value=best_val, job=best_id,
+            n_complete=len(grid.get_complete()),
+        )
     return best_val, best_id
