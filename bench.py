@@ -67,9 +67,16 @@ def time_tpu(n, d, chains, cands, reps, lbfgs_iters=20, grid_subset=10):
     def run(k, h):
         return suggest_step(k, h, xj, yj, mj, pend, pend_mask, cj, cm, cfg)
 
+    def force(res):
+        # On the experimental remote-TPU platform block_until_ready can
+        # return before execution finishes; a host transfer of a value
+        # that depends on the whole program cannot.
+        return float(np.asarray(res.ei).sum()) + float(
+            np.asarray(res.hypers.ls).sum())
+
     # warmup/compile
     res = run(key, hypers)
-    jax.block_until_ready(res)
+    force(res)
     hypers = res.hypers
 
     times = []
@@ -77,7 +84,7 @@ def time_tpu(n, d, chains, cands, reps, lbfgs_iters=20, grid_subset=10):
         key, k = jax.random.split(key)
         t0 = time.perf_counter()
         res = run(k, hypers)
-        jax.block_until_ready(res)
+        force(res)
         times.append(time.perf_counter() - t0)
         hypers = res.hypers
     return float(np.median(times))
