@@ -37,11 +37,16 @@ from spearmint_tpu.core.likelihood import (
 
 
 class PosteriorCache(NamedTuple):
-    """Per-hyperparameter-sample factorization reused across EI evals."""
+    """Per-hyperparameter-sample factorization reused across EI evals.
+
+    ``alpha``/``best`` may carry a leading fantasy axis F (the
+    factorization is fantasy-independent — only residuals differ), in
+    which case EI evaluations return [F, C].
+    """
 
     chol: jnp.ndarray   # (N, N) lower Cholesky of the observation cov
-    alpha: jnp.ndarray  # (N,) K⁻¹(y − mean)
-    best: jnp.ndarray   # scalar incumbent (min of supplied values)
+    alpha: jnp.ndarray  # (N,) or (F, N): K⁻¹(y − mean)
+    best: jnp.ndarray   # scalar or (F,): incumbent (min of values)
     hypers: GPHypers
 
 
@@ -71,7 +76,8 @@ def posterior_from_cache(
     h = cache.hypers
     kx = cross_cov(x, cand, h.amp2, h.ls, kernel)
     kx = kx * mask[:, None]  # padded observations contribute nothing
-    mu = h.mean + kx.T @ cache.alpha
+    # tensordot handles both (N,) → (C,) and (F, N) → (F, C) alphas
+    mu = h.mean + jnp.tensordot(cache.alpha, kx, axes=((-1,), (0,)))
     beta = linalg.tri_solve(cache.chol, kx)
     var = h.amp2 * (1.0 + JITTER) - jnp.sum(beta * beta, axis=0)
     return mu, var
@@ -79,6 +85,9 @@ def posterior_from_cache(
 
 def _ei_from_moments(mu, var, best):
     sigma = jnp.sqrt(jnp.maximum(var, 1e-14))
+    best = jnp.asarray(best)
+    if best.ndim > 0:  # fantasy axis: (F,) against mu (F, C)
+        best = best[..., None]
     u = (best - mu) / sigma
     ncdf = jax.scipy.stats.norm.cdf(u)
     npdf = jax.scipy.stats.norm.pdf(u)
@@ -141,4 +150,7 @@ def ei_from_cache_chunked(
     out = jax.lax.map(
         lambda cc: ei_from_cache(cache, x, mask, cc, kernel), chunks
     )
+    if out.ndim == 3:  # fantasy axis: [chunks, F, chunk] → [F, C]
+        out = jnp.moveaxis(out, 0, 1).reshape(out.shape[1], padded)
+        return out[:, :c]
     return out.reshape(padded)[:c]

@@ -63,6 +63,46 @@ def fantasize(
     return jnp.where(pend_mask, fant, 0.0)
 
 
+def fantasize_batch(
+    key: jax.Array,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    mask: jnp.ndarray,
+    pend: jnp.ndarray,
+    pend_mask: jnp.ndarray,
+    hypers: GPHypers,
+    n_fantasies: int,
+    kernel: Callable = matern52,
+) -> jnp.ndarray:
+    """(F, P) independent fantasy draws from one posterior.
+
+    Reference parity: ``GPEIOptChooser`` draws ``pending_samples``
+    (default 100) fantasy columns per hyperparameter sample and averages
+    EI over them (≈L200); the posterior factorization is shared across
+    draws, so this is one Cholesky + F matvecs.
+    """
+    n_pend = pend.shape[0]
+    obs_cov = cov_matrix(x, mask, hypers.amp2, hypers.noise, hypers.ls, kernel)
+    obs_chol = jnp.linalg.cholesky(obs_cov)
+    resid = jnp.where(mask, y - hypers.mean, 0.0)
+    alpha = linalg.chol_solve(obs_chol, resid)
+
+    kx = cross_cov(x, pend, hypers.amp2, hypers.ls, kernel)
+    kx = kx * mask[:, None]
+    eye_p = jnp.eye(n_pend, dtype=x.dtype)
+    kappa = hypers.amp2 * (kernel(pend, pend, hypers.ls) + JITTER * eye_p)
+
+    pend_m = hypers.mean + kx.T @ alpha
+    beta = linalg.tri_solve(obs_chol, kx)
+    pend_k = kappa - beta.T @ beta
+    pend_k = linalg.mask_psd_matrix(pend_k + JITTER * eye_p, pend_mask)
+    pend_chol = jnp.linalg.cholesky(pend_k)
+
+    draws = jax.random.normal(key, (n_fantasies, n_pend), dtype=x.dtype)
+    fant = pend_m[None, :] + draws @ pend_chol.T
+    return jnp.where(pend_mask[None, :], fant, 0.0)
+
+
 def augment(
     x: jnp.ndarray,
     y: jnp.ndarray,

@@ -37,8 +37,8 @@ class GPEIOptChooser:
         expt_dir,
         covar="Matern52",
         mcmc_iters=10,
-        pending_samples=100,   # accepted for reference-arg parity (the
-                               # fantasy axis is one draw per sample here)
+        pending_samples=100,   # fantasy draws per hyper sample (reference
+                               # default; becomes the batched fantasy axis)
         noiseless=0,
         burnin=100,
         grid_subset=20,
@@ -50,6 +50,7 @@ class GPEIOptChooser:
         self.expt_dir = expt_dir
         self.covar = str(covar)
         self.mcmc_iters = int(mcmc_iters)
+        self.pending_samples = int(pending_samples)
         self.noiseless = bool(int(noiseless))
         self.burnin_steps = int(burnin)
         self.grid_subset = int(grid_subset)
@@ -194,6 +195,7 @@ class GPEIOptChooser:
             lbfgs_iters=self.lbfgs_iters,
             optimize=self.optimize,
             has_pending=p > 0,
+            n_fantasies=self.pending_samples,
         )
         import time as _time
 

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from spearmint_tpu.acquire import ei as ei_mod
-from spearmint_tpu.acquire.fantasy import augment, fantasize
+from spearmint_tpu.acquire.fantasy import fantasize_batch
 from spearmint_tpu.acquire.optimize import minimize_lbfgs_b
 from spearmint_tpu.core.kernels import get_kernel
 from spearmint_tpu.core.likelihood import GPHypers
@@ -55,6 +55,9 @@ class SuggestConfig(NamedTuple):
     lbfgs_iters: int = 50
     optimize: bool = True          # False → grid-only EI (GPEIChooser mode)
     has_pending: bool = False      # static: pending branch traced only if used
+    n_fantasies: int = 10          # fantasy draws per hyper sample
+                                   # (reference pending_samples default 100;
+                                   # EI averages over chains×iters×fantasies)
 
     @property
     def kernel(self):
@@ -117,14 +120,29 @@ def suggest_step(
 
     # ---- posterior caches (one Cholesky per sample, batched) -----------
     if config.has_pending:
+        from spearmint_tpu.core.likelihood import cov_matrix
+        from spearmint_tpu.core import linalg as _lin
+
         x_aug = jnp.concatenate([x, pend], axis=0)
         mask_aug = jnp.concatenate([mask, pend_mask], axis=0)
+        n_fant = config.n_fantasies
 
         def per_sample_cache(kk, h):
-            fant = fantasize(kk, x, y, mask, pend, pend_mask, h, kernel)
-            _, y_aug, _ = augment(x, y, mask, pend, pend_mask, fant)
-            # Padded-comp entries of y_aug are 0; mask handles them.
-            return ei_mod.make_cache(x_aug, y_aug, mask_aug, h, kernel)
+            # F fantasy draws share one augmented factorization: the
+            # Cholesky depends only on X locations, not fantasy values.
+            fants = fantasize_batch(kk, x, y, mask, pend, pend_mask, h,
+                                    n_fant, kernel)               # [F, P]
+            y_augs = jnp.concatenate(
+                [jnp.broadcast_to(y, (n_fant,) + y.shape), fants], axis=1)
+            k_aug = cov_matrix(x_aug, mask_aug, h.amp2, h.noise, h.ls,
+                               kernel)
+            chol = jnp.linalg.cholesky(k_aug)
+            resid = jnp.where(mask_aug[None, :], y_augs - h.mean, 0.0)
+            alpha = _lin.chol_solve(chol, resid.T).T              # [F, N+P]
+            best = jnp.min(jnp.where(mask_aug[None, :], y_augs, jnp.inf),
+                           axis=1)                                 # [F]
+            return ei_mod.PosteriorCache(chol=chol, alpha=alpha, best=best,
+                                         hypers=h)
 
         caches = jax.vmap(per_sample_cache)(jax.random.split(k_fant, s), flat)
         x_all, mask_all = x_aug, mask_aug
@@ -138,7 +156,9 @@ def suggest_step(
     ei_samples = jax.vmap(
         lambda c: ei_mod.ei_from_cache_chunked(c, x_all, mask_all, cand,
                                                kernel)
-    )(caches)  # [S, C]
+    )(caches)  # [S, C] or [S, F, C] with pending fantasies
+    if ei_samples.ndim == 3:
+        ei_samples = jnp.mean(ei_samples, axis=1)
     ei_mean = jnp.mean(ei_samples, axis=0)
     ei_masked = jnp.where(cand_mask, ei_mean, -jnp.inf)
     best_cand = jnp.argmax(ei_masked)
@@ -154,8 +174,8 @@ def suggest_step(
             eis = jax.vmap(
                 lambda c: ei_mod.ei_from_cache(
                     c, x_all, mask_all, pt[None], kernel
-                )[0]
-            )(caches)
+                )[..., 0]
+            )(caches)  # [S] or [S, F]
             return -jnp.mean(eis)
 
         dim = cand.shape[1]

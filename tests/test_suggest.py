@@ -80,6 +80,28 @@ def test_suggest_with_pending(tiny_problem):
     assert d_to_pend[int(res.best_cand)] > d_to_pend.min() - 1e-9
 
 
+def test_fantasy_axis_stabilizes_argmax(tiny_problem):
+    """BASELINE config #4 structure: many pending jobs, fantasy draws
+    batched per sample; more fantasies → the EI landscape converges
+    (F=32 and F=64 agree on the argmax)."""
+    p = tiny_problem
+    rng = np.random.RandomState(3)
+    pend = jnp.array(rng.rand(64, 2), jnp.float32)
+    pmask = jnp.ones(64, bool)
+    hypers = init_chain_states(p["y"], p["mask"], 2, chains=3)
+    eis = {}
+    for f in (32, 64):
+        cfg = SuggestConfig(mcmc_iters=2, optimize=False, has_pending=True,
+                            n_fantasies=f)
+        res = suggest_step(jax.random.PRNGKey(0), hypers, p["x"], p["y"],
+                           p["mask"], pend, pmask, p["cand"], p["cand_mask"],
+                           cfg)
+        eis[f] = np.asarray(res.ei)
+        assert np.all(np.isfinite(eis[f]))
+    corr = np.corrcoef(eis[32], eis[64])[0, 1]
+    assert corr > 0.95, corr
+
+
 def test_suggest_deterministic(tiny_problem):
     p = tiny_problem
     cfg = SuggestConfig(mcmc_iters=2, grid_subset=2, lbfgs_iters=5)
