@@ -22,15 +22,20 @@ import jax.numpy as jnp
 
 
 def pad_bucket(n: int, minimum: int = 16) -> int:
-    """Static-shape bucket for n observations (next power of two ≥ n).
+    """Static-shape bucket for n observations.
 
-    Power-of-two buckets bound recompilation count to O(log n_max) while
-    keeping padding waste < 2×.
+    Buckets are powers of two plus their 1.5× midpoints (16, 24, 32,
+    48, 64, ...): recompilation count stays O(log n_max) while padding
+    waste is ≤ 33% — which matters cubed through the Cholesky (8192³ vs
+    6144³ is 2.4× the FLOPs for n=5000).
     """
     b = minimum
-    while b < n:
+    while True:
+        if n <= b:
+            return b
+        if n <= (b * 3) // 2:
+            return (b * 3) // 2
         b *= 2
-    return b
 
 
 def mask_psd_matrix(k: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:

@@ -45,6 +45,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--driver", default="local")
     p.add_argument("--polling-time", type=float, default=3.0)
     p.add_argument("--max-finished-jobs", type=int, default=10000)
+    p.add_argument("--retry-broken", type=int, default=0,
+                   help="requeue vanished/crashed jobs up to N times "
+                        "(reference burns the slot)")
     p.add_argument("--web-status", action="store_true",
                    help="serve experiment status over HTTP")
     p.add_argument("--web-status-port", type=int, default=8000)
@@ -55,7 +58,13 @@ def attempt_dispatch(expt_dir, config, chooser, driver, options) -> str:
     """One poll iteration; returns 'dispatched' | 'full' | 'done'."""
     grid = loop.open_grid(expt_dir, config, options.grid_size,
                           options.grid_seed)
-    loop.detect_broken(grid, driver)
+    newly_broken = loop.detect_broken(grid, driver)
+    max_retries = getattr(options, "retry_broken", 0)
+    if max_retries:
+        for job_id in newly_broken:
+            if grid.retry_broken(job_id, max_retries):
+                codec.log(f"job {job_id} requeued "
+                          f"(retry {int(grid.retries[job_id])}/{max_retries})")
 
     n_finished = len(grid.get_complete()) + len(grid.get_broken())
     if n_finished >= options.max_finished_jobs:

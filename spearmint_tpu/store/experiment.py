@@ -69,6 +69,7 @@ class ExperimentGrid:
                 self.values = np.full(n, np.nan)
                 self.durs = np.full(n, np.nan)
                 self.proc_ids = np.full(n, -1, dtype=np.int64)
+                self.retries = np.zeros(n, dtype=np.int32)
                 self._save()
 
     # ------------------------------------------------------- persistence
@@ -88,6 +89,8 @@ class ExperimentGrid:
             self.values = z["values"]
             self.durs = z["durs"]
             self.proc_ids = z["proc_ids"]
+            self.retries = (z["retries"] if "retries" in z
+                            else np.zeros(len(self.status), dtype=np.int32))
         with open(self._meta_path()) as f:
             meta = json.load(f)
         self.variables = meta["variables"]
@@ -98,7 +101,8 @@ class ExperimentGrid:
         os.makedirs(self.expt_dir, exist_ok=True)
         tmp = self._npz_path() + ".tmp.npz"
         np.savez(tmp, grid=self.grid, status=self.status, values=self.values,
-                 durs=self.durs, proc_ids=self.proc_ids)
+                 durs=self.durs, proc_ids=self.proc_ids,
+                 retries=self.retries)
         os.replace(tmp, self._npz_path())
         tmp = self._meta_path() + ".tmp"
         with open(tmp, "w") as f:
@@ -209,6 +213,7 @@ class ExperimentGrid:
             self.values = np.append(self.values, np.nan)
             self.durs = np.append(self.durs, np.nan)
             self.proc_ids = np.append(self.proc_ids, -1)
+            self.retries = np.append(self.retries, np.int32(0))
             return self.grid.shape[0] - 1
 
         return self._mutate(fn)
@@ -240,6 +245,23 @@ class ExperimentGrid:
 
     def set_broken(self, job_id):
         self._set_state(job_id, BROKEN_STATE)
+
+    def retry_broken(self, job_id, max_retries: int) -> bool:
+        """Requeue a broken job as a candidate if its retry budget allows
+        (SURVEY.md §5.3 build note: broken-state machine + retry budget;
+        the reference burns the slot permanently)."""
+        out = {"requeued": False}
+
+        def fn():
+            if (self.status[job_id] == BROKEN_STATE
+                    and self.retries[job_id] < max_retries):
+                self.retries[job_id] += 1
+                self.status[job_id] = CANDIDATE_STATE
+                self.proc_ids[job_id] = -1
+                out["requeued"] = True
+
+        self._mutate(fn)
+        return out["requeued"]
 
     # --------------------------- runner-side status flips (classmethods)
     @classmethod

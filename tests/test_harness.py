@@ -156,3 +156,26 @@ def test_record_best_file(tmp_path):
     assert (best_val, best_id) == (0.125, 2)
     content = open(os.path.join(expt, loop.BEST_FILE)).read()
     assert "0.125" in content and "Job-id: 2" in content
+
+
+def test_retry_broken_budget(tmp_path):
+    expt, cfg = _setup_expt(tmp_path)
+    chooser = get_chooser("SequentialChooser", expt)
+    driver = get_driver("fake")
+    options = Namespace(grid_size=10, grid_seed=1, max_concurrent=1,
+                        max_finished_jobs=100, retry_broken=2)
+    assert attempt_dispatch(expt, cfg, chooser, driver, options) == "dispatched"
+    pid, job = driver.submitted[0]
+    for round_num in (1, 2):
+        driver.kill(pid)
+        # next poll: job marked broken then requeued, and redispatched
+        assert attempt_dispatch(expt, cfg, chooser, driver, options) == \
+            "dispatched"
+        grid = ExperimentGrid(expt)
+        assert job.id not in grid.get_broken()
+        assert int(grid.retries[job.id]) == round_num
+        pid, _ = driver.submitted[-1]
+    # budget exhausted: third death stays broken
+    driver.kill(pid)
+    attempt_dispatch(expt, cfg, chooser, driver, options)
+    assert job.id in ExperimentGrid(expt).get_broken()

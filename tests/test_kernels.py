@@ -91,5 +91,14 @@ def test_masked_stats(rng):
 def test_pad_bucket():
     assert linalg.pad_bucket(1) == 16
     assert linalg.pad_bucket(16) == 16
-    assert linalg.pad_bucket(17) == 32
-    assert linalg.pad_bucket(5000) == 8192
+    assert linalg.pad_bucket(17) == 24
+    assert linalg.pad_bucket(25) == 32
+    assert linalg.pad_bucket(40) == 48
+    assert linalg.pad_bucket(5000) == 6144
+    assert linalg.pad_bucket(10000) == 12288
+    # monotone and always >= n
+    prev = 0
+    for n in range(1, 2000, 37):
+        b = linalg.pad_bucket(n)
+        assert b >= n and b >= prev
+        prev = b
