@@ -39,7 +39,8 @@ def make_problem(n, d, cands, seed=0):
     return x, y - y.mean(), cand
 
 
-def time_tpu(n, d, chains, cands, reps, lbfgs_iters=20, grid_subset=10):
+def time_tpu(n, d, chains, cands, reps, lbfgs_iters=20, grid_subset=10,
+             n_pending=0, n_fantasies=10, kernel_name="Matern52"):
     import jax
     import jax.numpy as jnp
 
@@ -55,12 +56,16 @@ def time_tpu(n, d, chains, cands, reps, lbfgs_iters=20, grid_subset=10):
     mask = np.arange(pad) < n
     xj, yj, mj = jnp.array(xp), jnp.array(yp), jnp.array(mask)
     hypers = init_chain_states(yj, mj, d, chains)
-    pend = jnp.zeros((4, d), jnp.float32)
-    pend_mask = jnp.zeros(4, bool)
+    p_pad = max(4, n_pending)
+    rngp = np.random.RandomState(7)
+    pend = jnp.array(rngp.rand(p_pad, d), jnp.float32)
+    pend_mask = jnp.array(np.arange(p_pad) < n_pending)
     cj = jnp.array(cand, jnp.float32)
     cm = jnp.ones(cands, bool)
     cfg = SuggestConfig(mcmc_iters=1, grid_subset=grid_subset,
-                        lbfgs_iters=lbfgs_iters)
+                        lbfgs_iters=lbfgs_iters,
+                        has_pending=n_pending > 0, n_fantasies=n_fantasies,
+                        kernel_name=kernel_name)
 
     key = jax.random.PRNGKey(0)
 
@@ -143,6 +148,24 @@ def time_baseline(n, d, cands, mcmc_iters=10):
     }
 
 
+# The five BASELINE.json benchmark configs (single-chip scalings of the
+# pod-scale targets; chains shard over a mesh for the full versions).
+PRESETS = {
+    # Branin parity: small-n regime, the canonical smoke test
+    "branin": dict(n=30, d=2, chains=10, cands=2000),
+    # Hartmann-6: 20 chains, 2k EI candidates
+    "hartmann": dict(n=500, d=6, chains=20, cands=2048),
+    # async: 64 pending fantasized (F=100 draws/sample)
+    "async": dict(n=1000, d=2, chains=10, cands=2048, n_pending=64,
+                  n_fantasies=100),
+    # large-n: 10k observations (single-chip slice of the pod config)
+    "large": dict(n=10000, d=2, chains=4, cands=8192),
+    # pallas kernel path
+    "pallas": dict(n=5000, d=2, chains=10, cands=2048,
+                   kernel_name="Matern52Pallas"),
+}
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--n", type=int, default=5000)
@@ -150,15 +173,23 @@ def main(argv=None):
     p.add_argument("--chains", type=int, default=10)
     p.add_argument("--cands", type=int, default=2000)
     p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--preset", choices=sorted(PRESETS), default=None)
     p.add_argument("--quick", action="store_true",
                    help="small shapes for smoke testing")
     p.add_argument("--skip-baseline", action="store_true")
     args = p.parse_args(argv)
 
+    extra = {}
+    if args.preset:
+        cfg = dict(PRESETS[args.preset])
+        args.n = cfg.pop("n"); args.d = cfg.pop("d")
+        args.chains = cfg.pop("chains"); args.cands = cfg.pop("cands")
+        extra = cfg
     if args.quick:
         args.n, args.cands, args.reps = 256, 256, 2
 
-    tpu_latency = time_tpu(args.n, args.d, args.chains, args.cands, args.reps)
+    tpu_latency = time_tpu(args.n, args.d, args.chains, args.cands,
+                           args.reps, **extra)
 
     if args.skip_baseline:
         baseline, detail = float("nan"), {}
@@ -167,14 +198,19 @@ def main(argv=None):
         baseline, detail = time_baseline(args.n, args.d, args.cands)
         vs = baseline / tpu_latency
 
+    name = args.preset or f"n{args.n}_chains{args.chains}_cands{args.cands}"
     print(json.dumps({
-        "metric": f"suggestion_latency_n{args.n}_chains{args.chains}"
-                  f"_cands{args.cands}",
+        "metric": f"suggestion_latency_{name}",
         "value": round(tpu_latency, 4),
         "unit": "s",
         "vs_baseline": round(vs, 2) if vs == vs else None,
     }), flush=True)
-    print(f"# baseline={baseline:.2f}s detail={detail}", file=sys.stderr)
+    # secondary BASELINE metrics (slice-sampling sweeps/s, EI evals/s/chip)
+    sweeps_per_s = args.chains / tpu_latency
+    ei_evals_per_s = args.chains * args.cands / tpu_latency
+    print(f"# baseline={baseline:.2f}s sweeps/s={sweeps_per_s:.1f} "
+          f"ei_evals/s={ei_evals_per_s:.3g} detail={detail}",
+          file=sys.stderr)
     return 0
 
 

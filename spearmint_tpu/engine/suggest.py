@@ -58,6 +58,10 @@ class SuggestConfig(NamedTuple):
     n_fantasies: int = 10          # fantasy draws per hyper sample
                                    # (reference pending_samples default 100;
                                    # EI averages over chains×iters×fantasies)
+    chain_chunk: int = 0           # >0: lax.map the chain/sample axis in
+                                   # groups of this size — bounds HBM at
+                                   # large n (chains·n² cov buffers);
+                                   # chains must divide evenly
 
     @property
     def kernel(self):
@@ -83,6 +87,33 @@ class SuggestResult(NamedTuple):
 def _flatten_samples(samples: GPHypers, s: int) -> GPHypers:
     """[chains, iters, ...] → [S, ...], chains-major (shardable by chain)."""
     return jax.tree.map(lambda a: a.reshape((s,) + a.shape[2:]), samples)
+
+
+def _chunked_vmap(fn, chunk: int):
+    """vmap with the leading axis processed in sequential groups.
+
+    chunk <= 0 → plain vmap.  Otherwise the leading axis (must divide by
+    chunk) maps in groups via lax.map, capping live O(axis·n²) buffers at
+    O(chunk·n²) — the single-chip path for the large-n config (pods get
+    the same effect by sharding chains over the mesh instead).
+    """
+    def run(*args):
+        if chunk <= 0:
+            return jax.vmap(fn)(*args)
+        lead = jax.tree.leaves(args[0])[0].shape[0]
+        if lead % chunk != 0:
+            return jax.vmap(fn)(*args)
+        g = lead // chunk
+
+        def regroup(a):
+            return a.reshape((g, chunk) + a.shape[1:])
+
+        grouped = jax.tree.map(regroup, args)
+        out = lax.map(lambda gr: jax.vmap(fn)(*gr), grouped)
+        return jax.tree.map(
+            lambda a: a.reshape((lead,) + a.shape[2:]), out)
+
+    return run
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -114,8 +145,8 @@ def suggest_step(
 
         return lax.scan(body, h0, ks)
 
-    h_last, samples = jax.vmap(chain_fn)(jax.random.split(k_chains, chains),
-                                         hypers)
+    h_last, samples = _chunked_vmap(chain_fn, config.chain_chunk)(
+        jax.random.split(k_chains, chains), hypers)
     flat = _flatten_samples(samples, s)
 
     # ---- posterior caches (one Cholesky per sample, batched) -----------
@@ -144,18 +175,21 @@ def suggest_step(
             return ei_mod.PosteriorCache(chol=chol, alpha=alpha, best=best,
                                          hypers=h)
 
-        caches = jax.vmap(per_sample_cache)(jax.random.split(k_fant, s), flat)
+        caches = _chunked_vmap(per_sample_cache, config.chain_chunk)(
+            jax.random.split(k_fant, s), flat)
         x_all, mask_all = x_aug, mask_aug
     else:
-        caches = jax.vmap(
-            lambda h: ei_mod.make_cache(x, y, mask, h, kernel)
+        caches = _chunked_vmap(
+            lambda h: ei_mod.make_cache(x, y, mask, h, kernel),
+            config.chain_chunk,
         )(flat)
         x_all, mask_all = x, mask
 
     # ---- EI over the candidate grid (chunked to bound HBM temps) -------
-    ei_samples = jax.vmap(
+    ei_samples = _chunked_vmap(
         lambda c: ei_mod.ei_from_cache_chunked(c, x_all, mask_all, cand,
-                                               kernel)
+                                               kernel),
+        config.chain_chunk,
     )(caches)  # [S, C] or [S, F, C] with pending fantasies
     if ei_samples.ndim == 3:
         ei_samples = jnp.mean(ei_samples, axis=1)
