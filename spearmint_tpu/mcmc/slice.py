@@ -40,8 +40,15 @@ def _direction_slice(
     step_out: bool,
     max_steps_out: int,
     max_shrink: int,
-) -> jnp.ndarray:
-    """One slice-sampling move of x0 along ``direction``."""
+    lp0: jnp.ndarray | None = None,
+):
+    """One slice-sampling move of x0 along ``direction``.
+
+    Returns (x_new, logprob(x_new)).  ``lp0`` (the log density at x0, an
+    O(n³) GP evaluation) is reused when the caller already knows it —
+    each compwise sweep then pays one fewer Cholesky per dimension than
+    the reference, with identical samples.
+    """
 
     def dir_lp(z):
         lp = logprob(x0 + z * direction)
@@ -50,9 +57,9 @@ def _direction_slice(
     k_u, k_h, k_shrink = jax.random.split(key, 3)
     upper0 = sigma * jax.random.uniform(k_u, dtype=x0.dtype)
     lower0 = upper0 - sigma
-    llh_s = jnp.log(jax.random.uniform(k_h, dtype=x0.dtype)) + dir_lp(
-        jnp.zeros((), x0.dtype)
-    )
+    if lp0 is None:
+        lp0 = dir_lp(jnp.zeros((), x0.dtype))
+    llh_s = jnp.log(jax.random.uniform(k_h, dtype=x0.dtype)) + lp0
 
     if step_out:
         def lo_cond(state):
@@ -78,26 +85,30 @@ def _direction_slice(
         lower, upper = lower0, upper0
 
     def shrink_cond(state):
-        _, _, _, _, done, steps = state
+        _, _, _, _, _, done, steps = state
         return (~done) & (steps < max_shrink)
 
     def shrink_body(state):
-        k, lo, up, z, done, steps = state
+        k, lo, up, z, llh, done, steps = state
         k, k_draw = jax.random.split(k)
         z_new = lo + (up - lo) * jax.random.uniform(k_draw, dtype=x0.dtype)
-        accept = dir_lp(z_new) > llh_s
+        llh_new = dir_lp(z_new)
+        accept = llh_new > llh_s
         # Reference: rejected z<0 raises the lower bound, z>0 lowers the
         # upper bound (shrinkage toward 0, the current point).
         lo = jnp.where(~accept & (z_new < 0.0), z_new, lo)
         up = jnp.where(~accept & (z_new >= 0.0), z_new, up)
         z = jnp.where(accept, z_new, z)
-        return k, lo, up, z, accept, steps + 1
+        llh = jnp.where(accept, llh_new, llh)
+        return k, lo, up, z, llh, accept, steps + 1
 
     zero = jnp.zeros((), x0.dtype)
-    _, _, _, z_final, _, _ = lax.while_loop(
-        shrink_cond, shrink_body, (k_shrink, lower, upper, zero, False, 0)
+    _, _, _, z_final, llh_final, accepted, _ = lax.while_loop(
+        shrink_cond, shrink_body,
+        (k_shrink, lower, upper, zero, lp0, False, 0)
     )
-    return x0 + z_final * direction
+    # fallback (budget exhausted): stay at x0 whose density is lp0
+    return x0 + z_final * direction, llh_final
 
 
 @partial(
@@ -129,22 +140,26 @@ def slice_sample(
         order = jax.random.permutation(k_perm, dim)
         keys = jax.random.split(k_moves, dim)
 
-        def body(x, inp):
+        def body(carry, inp):
+            x, lp = carry
             k, d = inp
             direction = (jnp.arange(dim) == d).astype(x0.dtype)
-            x_new = _direction_slice(
+            x_new, lp_new = _direction_slice(
                 k, x, direction, logprob, sigma, step_out, max_steps_out,
-                max_shrink,
+                max_shrink, lp0=lp,
             )
-            return x_new, None
+            return (x_new, lp_new), None
 
-        x_final, _ = lax.scan(body, x0, (keys, order))
+        lp_init = logprob(x0)
+        lp_init = jnp.where(jnp.isnan(lp_init), -jnp.inf, lp_init)
+        (x_final, _), _ = lax.scan(body, (x0, lp_init), (keys, order))
         return x_final
     else:
         k_dir, k_move = jax.random.split(key)
         direction = jax.random.normal(k_dir, (dim,), dtype=x0.dtype)
         direction = direction / jnp.sqrt(jnp.sum(direction**2))
-        return _direction_slice(
+        x_new, _ = _direction_slice(
             k_move, x0, direction, logprob, sigma, step_out, max_steps_out,
             max_shrink,
         )
+        return x_new
