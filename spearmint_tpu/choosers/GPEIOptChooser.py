@@ -46,6 +46,7 @@ class GPEIOptChooser:
         lbfgs_iters=50,
         max_obs_pad=None,
         seed=0,
+        profile_dir="",
     ):
         self.expt_dir = expt_dir
         self.covar = str(covar)
@@ -59,6 +60,7 @@ class GPEIOptChooser:
         self.max_obs_pad = max_obs_pad
         self.seed = int(seed)
         self.optimize = True  # GPEIChooser subclass flips this off
+        self.profile_dir = str(profile_dir)  # jax.profiler traces per call
         self.state_file = os.path.join(
             expt_dir, f"{type(self).__name__}_state.npz"
         )
@@ -197,16 +199,20 @@ class GPEIOptChooser:
             has_pending=p > 0,
             n_fantasies=self.pending_samples,
         )
+        import contextlib
         import time as _time
 
         key, ks = jax.random.split(key)
+        trace = (jax.profiler.trace(self.profile_dir)
+                 if self.profile_dir else contextlib.nullcontext())
         t0 = _time.perf_counter()
-        res = suggest_step(
-            ks, self._hypers, xj, yj, mj,
-            jnp.array(pend_p), jnp.array(pend_mask),
-            jnp.array(cand_p), jnp.array(cand_mask), cfg,
-        )
-        jax.block_until_ready(res.ei)
+        with trace:
+            res = suggest_step(
+                ks, self._hypers, xj, yj, mj,
+                jnp.array(pend_p), jnp.array(pend_mask),
+                jnp.array(cand_p), jnp.array(cand_mask), cfg,
+            )
+            jax.block_until_ready(res.ei)
         latency = _time.perf_counter() - t0
         self._hypers = res.hypers
         self._key_state += 1

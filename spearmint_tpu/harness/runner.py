@@ -83,12 +83,50 @@ def shell_launcher(job: codec.Job) -> float:
 
 
 def matlab_launcher(job: codec.Job) -> float:
-    # Reference composes: matlab -nodisplay -nojvm -r "<name>(id, params)"
-    # with params written to a .mat side file.  No MATLAB in this image.
-    raise RuntimeError(
-        "MATLAB/MCR language requires a matlab installation on PATH "
-        "(reference runner.py matlab_launcher parity stub)"
+    """Reference runner.py matlab_launcher parity: compose a
+    ``matlab -nodisplay -nojvm -r`` command evaluating
+    ``<name>(job_id, params)`` with params as a struct literal, result
+    written to a side file.  Gated: raises clearly without a MATLAB."""
+    import shutil
+    import tempfile
+
+    if shutil.which("matlab") is None:
+        raise RuntimeError(
+            "MATLAB language requires a matlab installation on PATH"
+        )
+    fields = []
+    for p in job.params:
+        if p.dbl_val:
+            vals = ", ".join(repr(v) for v in p.dbl_val)
+            fields.append(f"'{p.name}', [{vals}]")
+        elif p.int_val:
+            vals = ", ".join(repr(v) for v in p.int_val)
+            fields.append(f"'{p.name}', [{vals}]")
+        else:
+            vals = ", ".join("'" + s.replace("'", "''") + "'"
+                             for s in p.str_val)
+            fields.append(f"'{p.name}', {{{vals}}}")
+    params_ml = "struct(" + ", ".join(fields) + ")"
+    with tempfile.NamedTemporaryFile("r", suffix=".txt",
+                                     delete=False) as tf:
+        result_file = tf.name
+    script = (
+        f"cd('{job.expt_dir}'); "
+        f"r = {job.name}({job.id}, {params_ml}); "
+        f"fid = fopen('{result_file}', 'w'); "
+        "fprintf(fid, '%.17g\\n', r); fclose(fid); exit"
     )
+    out = subprocess.run(
+        ["matlab", "-nodisplay", "-nojvm", "-r", script],
+        capture_output=True, text=True, cwd=job.expt_dir,
+    )
+    sys.stdout.write(out.stdout)
+    sys.stderr.write(out.stderr)
+    try:
+        with open(result_file) as f:
+            return float(f.read().strip())
+    finally:
+        os.unlink(result_file)
 
 
 _LAUNCHERS = {
