@@ -1,0 +1,47 @@
+"""Event log + web status endpoints."""
+
+import json
+import urllib.request
+
+import numpy as np
+
+from spearmint_tpu.store import codec
+from spearmint_tpu.store.experiment import ExperimentGrid
+from spearmint_tpu.utils.events import EventLog
+
+
+def test_event_log_roundtrip(tmp_path):
+    log = EventLog(str(tmp_path))
+    log.emit("suggest", latency_s=0.5, n_obs=10)
+    log.emit("best", value=np.float32(1.5), job=np.int64(3))
+    events = log.read()
+    assert [e["kind"] for e in events] == ["suggest", "best"]
+    assert events[0]["latency_s"] == 0.5
+    assert events[1]["value"] == 1.5  # numpy scalars serialized
+    # append-only: a second logger appends
+    EventLog(str(tmp_path)).emit("x", a=1)
+    assert len(log.read()) == 3
+
+
+def test_web_status_endpoints(tmp_path):
+    from spearmint_tpu.harness.status import serve_status
+
+    cfg = codec.parse_text_config(
+        'language: PYTHON name: "e" '
+        'variable { name: "x" type: FLOAT size: 2 min: 0 max: 1 }'
+    )
+    grid = ExperimentGrid(str(tmp_path), cfg.variables, grid_size=10)
+    grid.set_complete(1, 0.75, 2.0)
+    server = serve_status(str(tmp_path), 0)  # ephemeral port
+    port = server.server_address[1]
+    try:
+        body = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/json", timeout=5).read()
+        snap = json.loads(body)
+        assert snap["counts"]["complete"] == 1
+        assert snap["best_value"] == 0.75
+        html = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/", timeout=5).read().decode()
+        assert "spearmint-tpu" in html and "0.75" in html
+    finally:
+        server.shutdown()
