@@ -129,17 +129,22 @@ def time_baseline(n, d, cands, mcmc_iters=10):
     # per-eval cost at full n: the exact computation the slice sampler
     # does per logprob call (cov assembly + cholesky + solve)
     ls = np.ones(d)
-    t0 = time.perf_counter()
-    n_eval_reps = 3
-    for _ in range(n_eval_reps):
+    eval_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
         cov = 1.0 * (g.matern52(x, x, ls) + 1e-6 * np.eye(n)) + 1e-3 * np.eye(n)
         chol = spla.cholesky(cov, lower=True)
         spla.cho_solve((chol, True), y)
-    per_eval = (time.perf_counter() - t0) / n_eval_reps
+        eval_times.append(time.perf_counter() - t0)
+    # min over reps: least load-sensitive estimate (favors the baseline)
+    per_eval = min(eval_times)
 
-    t0 = time.perf_counter()
-    g.compute_ei(x, y, cand, mean=0.0, amp2=1.0, noise=1e-3, ls=ls)
-    ei_time = time.perf_counter() - t0
+    ei_times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        g.compute_ei(x, y, cand, mean=0.0, amp2=1.0, noise=1e-3, ls=ls)
+        ei_times.append(time.perf_counter() - t0)
+    ei_time = min(ei_times)
 
     return mcmc_iters * (evals_per_sweep * per_eval + ei_time), {
         "evals_per_sweep": evals_per_sweep,
