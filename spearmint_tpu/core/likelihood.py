@@ -34,6 +34,18 @@ class GPHypers(NamedTuple):
     ls: jnp.ndarray     # (D,) ARD length scales
 
 
+def _effective_jitter(n: int) -> float:
+    """Reference jitter (1e-6) plus an f32-conditioning term at large n.
+
+    f32 Cholesky roundoff grows ~n·eps·λmax with λmax ~ n·amp2; beyond a
+    few thousand observations the reference's fixed 1e-6 leaves
+    cond(K) ≈ n/noise at the f32 failure edge (observed: NaN chol at
+    n=12288, noise=1e-3).  The extra term is 0 below n=2048, so small-n
+    numerics — and golden-parity tests — are bit-identical.
+    """
+    return JITTER + 2e-7 * max(0, n - 2048)
+
+
 def cov_matrix(
     x: jnp.ndarray,
     mask: jnp.ndarray,
@@ -42,10 +54,10 @@ def cov_matrix(
     ls: jnp.ndarray,
     kernel: Callable = matern52,
 ) -> jnp.ndarray:
-    """amp2·(k(X,X) + 1e-6 I) + noise·I with padded rows/cols → identity."""
+    """amp2·(k(X,X) + jitter·I) + noise·I with padded rows/cols → identity."""
     n = x.shape[0]
     eye = jnp.eye(n, dtype=x.dtype)
-    k = amp2 * (kernel(x, x, ls) + JITTER * eye) + noise * eye
+    k = amp2 * (kernel(x, x, ls) + _effective_jitter(n) * eye) + noise * eye
     return linalg.mask_psd_matrix(k, mask)
 
 

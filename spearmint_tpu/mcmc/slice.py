@@ -62,9 +62,16 @@ def _direction_slice(
     llh_s = jnp.log(jax.random.uniform(k_h, dtype=x0.dtype)) + lp0
 
     if step_out:
+        # Guard: if the current point itself has −inf density (e.g. a
+        # failed f32 factorization at large n), every finite bracket end
+        # beats llh_s and step-out would burn max_steps_out × O(n³)
+        # evaluations.  The slice is meaningless there — skip expansion
+        # and let the shrink loop accept the first finite proposal.
+        finite_slice = jnp.isfinite(llh_s)
+
         def lo_cond(state):
             lo, i = state
-            return (dir_lp(lo) > llh_s) & (i < max_steps_out)
+            return finite_slice & (dir_lp(lo) > llh_s) & (i < max_steps_out)
 
         def lo_body(state):
             lo, i = state
@@ -74,7 +81,7 @@ def _direction_slice(
 
         def up_cond(state):
             up, i = state
-            return (dir_lp(up) > llh_s) & (i < max_steps_out)
+            return finite_slice & (dir_lp(up) > llh_s) & (i < max_steps_out)
 
         def up_body(state):
             up, i = state
