@@ -81,8 +81,11 @@ class GPConstrainedEIChooser(GPEIOptChooser):
                 or self._constraint.ff.shape[1] != pad):
             self._constraint = init_constraint_states(ndim, pad, self.chains)
 
+        # mcmc_iters = samples per suggestion, spread across chains
+        # (see GPEIOptChooser.next).
+        iters_per_chain = max(1, -(-self.mcmc_iters // self.chains))
         cfg = SuggestConfig(
-            mcmc_iters=self.mcmc_iters,
+            mcmc_iters=iters_per_chain,
             noiseless=self.noiseless,
             kernel_name=self.covar,
             grid_subset=self.grid_subset,

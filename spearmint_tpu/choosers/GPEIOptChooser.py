@@ -189,8 +189,12 @@ class GPEIOptChooser:
             )
             self._burned_in = True
 
+        # Reference semantics: mcmc_iters = hyperparameter samples PER
+        # SUGGESTION (its one chain loops that many times).  Spread the
+        # same budget across parallel chains: iters/chain = ceil share.
+        iters_per_chain = max(1, -(-self.mcmc_iters // self.chains))
         cfg = SuggestConfig(
-            mcmc_iters=self.mcmc_iters,
+            mcmc_iters=iters_per_chain,
             noiseless=self.noiseless,
             kernel_name=self.covar,
             grid_subset=self.grid_subset,

@@ -125,8 +125,11 @@ class GPEIperSecChooser(GPEIOptChooser):
             self._time_hypers = init_chain_states(tj, mj, ndim, self.chains)
             self._burned_in = True  # per-sec burns in through regular calls
 
+        # mcmc_iters = samples per suggestion, spread across chains
+        # (see GPEIOptChooser.next).
+        iters_per_chain = max(1, -(-self.mcmc_iters // self.chains))
         cfg = SuggestConfig(
-            mcmc_iters=self.mcmc_iters,
+            mcmc_iters=iters_per_chain,
             noiseless=self.noiseless,
             kernel_name=self.covar,
             grid_subset=self.grid_subset,
