@@ -104,30 +104,31 @@ def _lbfgs_single(
         done=jnp.array(False),
     )
 
+    # Parallel line search: one batched evaluation at a fixed step
+    # ladder per iteration instead of sequential backtracking.  Under
+    # vmap over restarts a while-loop line search makes every lane pay
+    # the slowest lane's trial count; a ladder is one fused batch on the
+    # MXU and is deterministic.  ``max_ls`` controls the ladder depth.
+    n_steps = min(max_ls, 8)
+    ladder = jnp.asarray(
+        [2.0 ** (-i) for i in range(0, 2 * n_steps, 2)], dtype
+    )  # 1, 1/4, 1/16, ...
+
     def step(st: _State, _):
         d = -_two_loop(st.g, st.s_hist, st.y_hist, st.rho_hist, st.valid)
         # Ensure descent; fall back to steepest descent otherwise.
         descent = jnp.dot(d, st.g) < 0
         d = jnp.where(descent, d, -st.g)
-        gd = jnp.dot(d, st.g)
 
-        def ls_cond(c):
-            t, trial, ok = c
-            return (~ok) & (trial < max_ls)
-
-        def ls_body(c):
-            t, trial, _ = c
-            x_try = project(st.x + t * d)
-            f_try = fun(x_try)
-            # Armijo on the projected step.
-            ok = f_try <= st.f + 1e-4 * jnp.dot(st.g, x_try - st.x)
-            t_next = jnp.where(ok, t, t * 0.5)
-            return t_next, trial + 1, ok
-
-        t, _, ls_ok = lax.while_loop(
-            ls_cond, ls_body, (jnp.asarray(1.0, dtype), 0, jnp.array(False))
-        )
-        x_new = project(st.x + jnp.where(ls_ok, t, 0.0) * d)
+        x_trys = jax.vmap(lambda t: project(st.x + t * d))(ladder)
+        f_trys = jax.vmap(fun)(x_trys)
+        armijo = f_trys <= st.f + 1e-4 * (x_trys - st.x) @ st.g
+        # largest step satisfying Armijo; else the plain minimizer
+        first_ok = jnp.argmax(armijo)  # ladder is sorted descending
+        any_ok = jnp.any(armijo)
+        pick = jnp.where(any_ok, first_ok, jnp.argmin(f_trys))
+        ls_ok = any_ok | (f_trys[pick] < st.f)
+        x_new = jnp.where(ls_ok, x_trys[pick], st.x)
         f_new, g_new = vg(x_new)
         improved = f_new < st.f
         x_new = jnp.where(improved, x_new, st.x)
