@@ -58,7 +58,7 @@ def make_cache(
     kernel: Callable = matern52,
 ) -> PosteriorCache:
     k = cov_matrix(x, mask, hypers.amp2, hypers.noise, hypers.ls, kernel)
-    chol = jnp.linalg.cholesky(k)
+    chol = linalg.cholesky(k)
     resid = jnp.where(mask, y - hypers.mean, 0.0)
     alpha = linalg.chol_solve(chol, resid)
     best = linalg.masked_min(y, mask)

@@ -42,7 +42,7 @@ def fantasize(
     """
     n_pend = pend.shape[0]
     obs_cov = cov_matrix(x, mask, hypers.amp2, hypers.noise, hypers.ls, kernel)
-    obs_chol = jnp.linalg.cholesky(obs_cov)
+    obs_chol = linalg.cholesky(obs_cov)
     resid = jnp.where(mask, y - hypers.mean, 0.0)
     alpha = linalg.chol_solve(obs_chol, resid)
 
@@ -56,7 +56,7 @@ def fantasize(
     beta = linalg.tri_solve(obs_chol, kx)
     pend_k = kappa - beta.T @ beta
     pend_k = linalg.mask_psd_matrix(pend_k + JITTER * eye_p, pend_mask)
-    pend_chol = jnp.linalg.cholesky(pend_k)
+    pend_chol = linalg.cholesky(pend_k)
 
     draw = jax.random.normal(key, (n_pend,), dtype=x.dtype)
     fant = pend_m + pend_chol @ draw
@@ -83,7 +83,7 @@ def fantasize_batch(
     """
     n_pend = pend.shape[0]
     obs_cov = cov_matrix(x, mask, hypers.amp2, hypers.noise, hypers.ls, kernel)
-    obs_chol = jnp.linalg.cholesky(obs_cov)
+    obs_chol = linalg.cholesky(obs_cov)
     resid = jnp.where(mask, y - hypers.mean, 0.0)
     alpha = linalg.chol_solve(obs_chol, resid)
 
@@ -96,7 +96,7 @@ def fantasize_batch(
     beta = linalg.tri_solve(obs_chol, kx)
     pend_k = kappa - beta.T @ beta
     pend_k = linalg.mask_psd_matrix(pend_k + JITTER * eye_p, pend_mask)
-    pend_chol = jnp.linalg.cholesky(pend_k)
+    pend_chol = linalg.cholesky(pend_k)
 
     draws = jax.random.normal(key, (n_fantasies, n_pend), dtype=x.dtype)
     fant = pend_m[None, :] + draws @ pend_chol.T

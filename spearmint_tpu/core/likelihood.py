@@ -81,7 +81,7 @@ def log_marginal(
 ) -> jnp.ndarray:
     """Reference GP log-marginal (sans 2π constant), masked/jittable."""
     k = cov_matrix(x, mask, hypers.amp2, hypers.noise, hypers.ls, kernel)
-    chol = jnp.linalg.cholesky(k)
+    chol = linalg.cholesky(k)
     resid = jnp.where(mask, y - hypers.mean, 0.0)
     solve = linalg.chol_solve(chol, resid)
     lp = -linalg.logdet_from_chol(chol) - 0.5 * jnp.dot(resid, solve)

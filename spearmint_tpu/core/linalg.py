@@ -17,8 +17,29 @@ at the true size n, bit-for-bit up to XLA reduction order.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+# Cholesky backend switch: the Pallas blocked kernel (ops/pallas_chol)
+# vs XLA's. Trace-time flag: toggling requires retracing (new jit call).
+_USE_PALLAS_CHOL = os.environ.get("SPEARMINT_TPU_PALLAS_CHOL", "0") == "1"
+
+
+def set_pallas_cholesky(on: bool) -> None:
+    global _USE_PALLAS_CHOL
+    _USE_PALLAS_CHOL = bool(on)
+
+
+def cholesky(k: jnp.ndarray) -> jnp.ndarray:
+    """Lower Cholesky, dispatching to the Pallas blocked kernel when
+    enabled (and shapes tile); otherwise XLA's."""
+    if _USE_PALLAS_CHOL:
+        from spearmint_tpu.ops.pallas_chol import cholesky_pallas
+
+        return cholesky_pallas(k)
+    return jnp.linalg.cholesky(k)
 
 
 def pad_bucket(n: int, minimum: int = 16) -> int:
@@ -51,7 +72,7 @@ def mask_psd_matrix(k: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
 
 def masked_cholesky(k: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Lower Cholesky factor of a masked PSD matrix."""
-    return jnp.linalg.cholesky(mask_psd_matrix(k, mask))
+    return cholesky(mask_psd_matrix(k, mask))
 
 
 def chol_solve(chol: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

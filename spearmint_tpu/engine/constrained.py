@@ -75,7 +75,7 @@ def _sample_constraint(key, state: ConstraintState, x, z, mask, kernel,
     k_ess, k_ls = jax.random.split(key)
 
     cov = _constraint_cov(x, mask, state.ls, state.amp2, kernel)
-    chol = jnp.linalg.cholesky(cov)
+    chol = linalg.cholesky(cov)
 
     def ess_body(ff, kk):
         ff2 = elliptical_slice(kk, ff, chol,
@@ -89,7 +89,7 @@ def _sample_constraint(key, state: ConstraintState, x, z, mask, kernel,
         valid = priors.ls_in_bounds(ls, max_ls)
         ls_s = jnp.clip(ls, 1e-6, max_ls)
         k = _constraint_cov(x, mask, ls_s, state.amp2, kernel)
-        ch = jnp.linalg.cholesky(k)
+        ch = linalg.cholesky(k)
         alpha = linalg.chol_solve(ch, ff)
         lp = -linalg.logdet_from_chol(ch) - 0.5 * jnp.dot(ff, alpha)
         lp = jnp.where(jnp.isnan(lp), -jnp.inf, lp)
@@ -102,7 +102,7 @@ def _sample_constraint(key, state: ConstraintState, x, z, mask, kernel,
 def _p_valid_at(state: ConstraintState, x, mask, cand, kernel):
     """Probit predictive feasibility probability at candidate points."""
     cov = _constraint_cov(x, mask, state.ls, state.amp2, kernel)
-    chol = jnp.linalg.cholesky(cov)
+    chol = linalg.cholesky(cov)
     kx = state.amp2 * kernel(x, cand, state.ls) * mask[:, None]
     alpha = linalg.chol_solve(chol, state.ff)
     mu = kx.T @ alpha

@@ -167,7 +167,7 @@ def suggest_step(
                 [jnp.broadcast_to(y, (n_fant,) + y.shape), fants], axis=1)
             k_aug = cov_matrix(x_aug, mask_aug, h.amp2, h.noise, h.ls,
                                kernel)
-            chol = jnp.linalg.cholesky(k_aug)
+            chol = _lin.cholesky(k_aug)
             resid = jnp.where(mask_aug[None, :], y_augs - h.mean, 0.0)
             alpha = _lin.chol_solve(chol, resid.T).T              # [F, N+P]
             best = jnp.min(jnp.where(mask_aug[None, :], y_augs, jnp.inf),
