@@ -37,30 +37,35 @@ DEFAULT_BLOCK = 256
 
 def _panel_kernel(strip_ref, out_ref, *, row0: int, block: int):
     """Factor the diagonal block at rows [row0, row0+B) of a [N, B]
-    column strip and solve the rows below it, in one sweep."""
+    column strip and solve the rows below it, in one sweep.
+
+    Mosaic cannot lower traced-index dynamic_slice, so all per-column
+    addressing is one-hot masks / static slices: the column extract is a
+    masked row-reduction and the column write a masked select.
+    """
     strip = strip_ref[0]  # [N, B]
     n = strip.shape[0]
-    ridx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (n, block), 0)
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (n, block), 1)
 
     def col_step(j, s):
         pr = row0 + j
-        pivot = jax.lax.dynamic_slice(s, (pr, j), (1, 1))[0, 0]
+        ecol = cidx == j                       # [N, B] column-j selector
+        colj = jnp.sum(jnp.where(ecol, s, 0.0), axis=1)      # [N]
+        rvec = ridx[:, 0]
+        pivot = jnp.sum(jnp.where(rvec == pr, colj, 0.0))
         # Padded/masked matrices keep pivot > 0 by construction; clamp
         # guards against f32 roundoff driving it slightly negative.
         d = jnp.sqrt(jnp.maximum(pivot, 1e-30))
-        colj = jax.lax.dynamic_slice_in_dim(s, j, 1, axis=1)[:, 0]
         newcol = jnp.where(
-            ridx < pr, colj, jnp.where(ridx == pr, d, colj / d)
+            rvec < pr, colj, jnp.where(rvec == pr, d, colj / d)
         )
-        s = jax.lax.dynamic_update_slice_in_dim(
-            s, newcol[:, None], j, axis=1
-        )
+        s = jnp.where(ecol, newcol[:, None], s)
         # rank-1 update of the remaining panel columns (m > j):
         # A[i, m] -= L[i, j] · L[row0+m, j]  for rows i > pr
-        lrow = jax.lax.dynamic_slice_in_dim(newcol, row0, block, axis=0)
-        below = jnp.where(ridx > pr, newcol, 0.0)
-        cidx = jax.lax.broadcasted_iota(jnp.int32, (n, block), 1)
-        update = below[:, None] * lrow[None, :]
+        diag_rows = jax.lax.slice_in_dim(newcol, row0, row0 + block)  # [B]
+        below = jnp.where(rvec > pr, newcol, 0.0)
+        update = below[:, None] * diag_rows[None, :]
         s = s - jnp.where(cidx > j, update, 0.0)
         return s
 
