@@ -47,25 +47,34 @@ def _panel_kernel(strip_ref, out_ref, *, row0: int, block: int):
     n = strip.shape[0]
     ridx = jax.lax.broadcasted_iota(jnp.int32, (n, block), 0)
     cidx = jax.lax.broadcasted_iota(jnp.int32, (n, block), 1)
+    # All intermediates stay ≥2-D (Mosaic mishandles length-N 1-D
+    # vectors: "Invalid relayout ... vector<1x6144xf32>").
+    rcol = ridx[:, :1]                      # [N, 1] row indices
+    brow = jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)  # [1, B]
 
     def col_step(j, s):
         pr = row0 + j
-        ecol = cidx == j                       # [N, B] column-j selector
-        colj = jnp.sum(jnp.where(ecol, s, 0.0), axis=1)      # [N]
-        rvec = ridx[:, 0]
-        pivot = jnp.sum(jnp.where(rvec == pr, colj, 0.0))
+        ecol = cidx == j                    # [N, B] column-j selector
+        colj = jnp.sum(jnp.where(ecol, s, 0.0), axis=1, keepdims=True)
+        pivot = jnp.sum(jnp.where(rcol == pr, colj, 0.0))
         # Padded/masked matrices keep pivot > 0 by construction; clamp
         # guards against f32 roundoff driving it slightly negative.
         d = jnp.sqrt(jnp.maximum(pivot, 1e-30))
         newcol = jnp.where(
-            rvec < pr, colj, jnp.where(rvec == pr, d, colj / d)
-        )
-        s = jnp.where(ecol, newcol[:, None], s)
+            rcol < pr, colj, jnp.where(rcol == pr, d, colj / d)
+        )                                    # [N, 1]
+        s = jnp.where(ecol, newcol, s)
         # rank-1 update of the remaining panel columns (m > j):
         # A[i, m] -= L[i, j] · L[row0+m, j]  for rows i > pr
-        diag_rows = jax.lax.slice_in_dim(newcol, row0, row0 + block)  # [B]
-        below = jnp.where(rvec > pr, newcol, 0.0)
-        update = below[:, None] * diag_rows[None, :]
+        # L[row0+m, j] as a [1, B] row: select the diagonal-block rows of
+        # newcol and fold them onto the lane axis with a masked matmul
+        # (avoids an explicit [B,1]→[1,B] relayout).
+        sel = (ridx >= row0) & (ridx < row0 + block) & (
+            cidx == (ridx - row0))           # [N, B] permutation mask
+        diag_row = jnp.sum(jnp.where(sel, newcol, 0.0), axis=0,
+                           keepdims=True)    # [1, B]
+        below = jnp.where(rcol > pr, newcol, 0.0)   # [N, 1]
+        update = below * diag_row                    # [N, B]
         s = s - jnp.where(cidx > j, update, 0.0)
         return s
 
