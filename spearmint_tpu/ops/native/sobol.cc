@@ -16,26 +16,13 @@
 #include <cstdint>
 #include <cstring>
 
+#include "sobol_directions.h"
+
 namespace {
 
-struct Dim {
-  int s;            // polynomial degree
-  uint32_t a;       // interior polynomial coefficient bits
-  uint32_t m[8];    // initial direction values (s entries)
-};
-
-// Joe–Kuo new-joe-kuo-6 table, dimensions 2..9 (dimension 1 is van der
-// Corput and needs no entry).
-const Dim kDims[] = {
-    {1, 0, {1}},
-    {2, 1, {1, 3}},
-    {3, 1, {1, 3, 1}},
-    {3, 2, {1, 1, 1}},
-    {4, 1, {1, 1, 3, 3}},
-    {4, 4, {1, 3, 5, 13}},
-    {5, 2, {1, 1, 5, 5, 17}},
-    {5, 4, {1, 1, 5, 5, 5}},
-};
+// Joe–Kuo new-joe-kuo-6 table (dimension 1 is van der Corput and needs
+// no entry); generated into sobol_directions.h by bin/gen_sobol_table.py.
+using sobol_table::kDims;
 
 constexpr int kMaxExtraDims = sizeof(kDims) / sizeof(kDims[0]);
 constexpr int kBits = 32;
@@ -66,7 +53,7 @@ int spearmint_sobol(int dim, long n, long skip, double* out) {
   uint32_t v[1 + kMaxExtraDims][kBits];
   for (int k = 0; k < kBits; ++k) v[0][k] = 1u << (kBits - 1 - k);
   for (int j = 1; j < dim; ++j) {
-    const Dim& d = kDims[j - 1];
+    const auto& d = kDims[j - 1];
     const int s = d.s;
     for (int k = 0; k < s; ++k) v[j][k] = d.m[k] << (kBits - 1 - k);
     for (int k = s; k < kBits; ++k) {

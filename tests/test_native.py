@@ -38,7 +38,8 @@ def test_native_sobol_skip_semantics():
 
 def test_native_sobol_dimension_fallback():
     # beyond the embedded table → None (python falls back to scipy)
-    assert native.sobol_generate(64, 8, 0) is None
+    beyond = native.sobol_max_dim() + 1
+    assert native.sobol_generate(beyond, 8, 0) is None
 
 
 @pytest.mark.slow
