@@ -41,6 +41,10 @@ def detect_broken(grid: ExperimentGrid, driver) -> list[int]:
             if status in (1, 2):  # still submitted/running → it died
                 grid.set_broken(int(job_id))
                 codec.log(f"job {int(job_id)} vanished; marked broken")
+                from spearmint_tpu.utils.events import EventLog
+
+                EventLog(grid.expt_dir).emit(
+                    "broken", job=int(job_id), reason="vanished")
                 newly_broken.append(int(job_id))
     return newly_broken
 

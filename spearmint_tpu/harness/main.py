@@ -86,6 +86,9 @@ def attempt_dispatch(expt_dir, config, chooser, driver, options) -> str:
     grid.set_submitted(job_id, proc_id=proc_id)
     codec.log(f"submitted job {job_id} (proc {proc_id}): "
               f"{grid.unit_to_list(job_id)}")
+    from spearmint_tpu.utils.events import EventLog
+
+    EventLog(expt_dir).emit("dispatch", job=job_id, proc=proc_id)
     loop.record_best(grid)
     return "dispatched"
 

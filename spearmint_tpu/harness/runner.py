@@ -31,6 +31,7 @@ import traceback
 
 from spearmint_tpu.store import codec
 from spearmint_tpu.store.experiment import ExperimentGrid
+from spearmint_tpu.utils.events import EventLog
 
 
 def python_launcher(job: codec.Job) -> float:
@@ -162,6 +163,9 @@ def job_runner(job: codec.Job) -> bool:
         ExperimentGrid.job_complete(job.expt_dir, job.id, value, duration)
         codec.log(f"job {job.id} complete: value={value:.6g} "
                   f"duration={duration:.2f}s")
+        EventLog(job.expt_dir).emit(
+            "complete", job=job.id, value=value,
+            duration_s=round(duration, 3))
         return True
     except Exception:
         traceback.print_exc()
@@ -170,6 +174,7 @@ def job_runner(job: codec.Job) -> bool:
         codec.save_job(job)
         ExperimentGrid.job_broken(job.expt_dir, job.id)
         codec.log(f"job {job.id} broken")
+        EventLog(job.expt_dir).emit("broken", job=job.id, reason="crashed")
         return False
 
 

@@ -45,3 +45,45 @@ def test_web_status_endpoints(tmp_path):
         assert "spearmint-tpu" in html and "0.75" in html
     finally:
         server.shutdown()
+
+
+def test_watch_snapshot_and_render(tmp_path, capsys):
+    from spearmint_tpu.harness import watch
+
+    cfg = codec.parse_text_config(
+        'language: PYTHON name: "e" '
+        'variable { name: "x" type: FLOAT size: 2 min: 0 max: 1 }'
+    )
+    grid = ExperimentGrid(str(tmp_path), cfg.variables, grid_size=10)
+    grid.set_complete(1, 0.75, 2.0)
+    log = EventLog(str(tmp_path))
+    log.emit("dispatch", job=1, proc=123)
+    log.emit("suggest", latency_s=0.5, n_obs=10)
+    log.emit("suggest", latency_s=0.25, n_obs=11)
+    log.emit("complete", job=1, value=0.75, duration_s=2.0)
+    log.emit("best", value=0.75, job=1, n_complete=1)
+
+    snap = watch.snapshot(str(tmp_path))
+    assert snap["counts"]["complete"] == 1
+    assert snap["best_value"] == 0.75
+    assert snap["latencies"] == [0.5, 0.25]
+
+    out = watch.render(snap)
+    assert "best: 0.75" in out
+    assert "median 0.375s" in out
+    assert "dispatch" in out and "complete" in out
+
+    # --once CLI path
+    assert watch.main([str(tmp_path), "--once"]) == 0
+    printed = capsys.readouterr().out
+    assert "spearmint-tpu experiment" in printed
+
+
+def test_sparkline_shapes():
+    from spearmint_tpu.harness.watch import sparkline
+
+    assert sparkline([]) == ""
+    assert sparkline([1.0]) == "▁"
+    s = sparkline([0, 1, 2, 3], width=4)
+    assert len(s) == 4 and s[0] == "▁" and s[-1] == "█"
+    assert len(sparkline(list(range(100)), width=10)) == 10
