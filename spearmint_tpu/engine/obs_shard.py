@@ -1,0 +1,269 @@
+"""Observation-axis (`obs`) sharded GP primitives for large-n.
+
+SURVEY.md §2b maps the reference's missing tensor-parallel analogue to
+"shard the n×n kernel matrix / Cholesky across an `obs` mesh axis for
+large-n GP".  Chain parallelism covers every BASELINE config whose
+chains ≥ devices; this module is the other regime — fewer chains than
+devices, or an n×n working set that must be split — and provides
+
+  * ``cov_colblock``        distributed kernel-matrix assembly,
+  * ``cholesky_colblock``   distributed right-looking Cholesky,
+  * ``solve_colblock``      distributed forward substitution,
+  * ``logprob_colblock``    GP log-marginal from sharded blocks,
+  * ``posterior_colblock``  posterior mean/var at replicated candidates,
+
+all written against a 1-D ``obs`` mesh axis inside ``jax.shard_map``.
+
+Layout: **column blocks**.  Device j of ``ndev`` owns the [N, Nl]
+column slab of the symmetric matrix (Nl = N/ndev) and the matching
+[Nl] slice of vectors.  A lower-Cholesky column panel then lives
+entirely on one device, so panel factorization (small Cholesky + one
+[N, Nl] triangular solve) is device-local; one collective per panel
+step moves the factored panel to everyone for the MXU trailing GEMM:
+
+  for k in 0..ndev-1 (static):                   # right-looking
+    every device factors ITS slab as if active   # uniform SPMD, no cond
+    panel_k = psum(mask(j == k) · my_panel)      # broadcast the real one
+    j > k:  slab -= panel_k @ panel_k[my rows]ᵀ  # trailing update (MXU)
+    j == k: slab = panel_k                       # done
+
+The redundant local factoring keeps the program SPMD-uniform; its cost,
+O(N·Nl²) per device per sweep, matches the trailing-update cost — the
+sequential fraction is ~1/ndev, so the factorization strong-scales.
+
+Forward substitution runs the same masked-psum pipeline per block
+(O(ndev) latency on O(N²)/O(N²C) work).  Collectives are psum/all_gather
+over `obs` — ICI-ridden under GSPMD on a real slice; validated on the
+8-virtual-CPU-device mesh in tests/test_obs_shard.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from spearmint_tpu.core.kernels import matern52
+from spearmint_tpu.core.likelihood import JITTER, _effective_jitter
+
+OBS_AXIS = "obs"
+
+
+def _my_index():
+    return lax.axis_index(OBS_AXIS)
+
+
+def _bcast_from(value, src_index):
+    """SPMD-uniform broadcast: zero everywhere but `src_index`, psum.
+
+    ``where`` (not multiply) so non-source NaNs — e.g. a speculatively
+    factored not-yet-updated slab — cannot poison the reduction.
+    """
+    return lax.psum(
+        jnp.where(_my_index() == src_index, value, 0.0), OBS_AXIS)
+
+
+# --------------------------------------------------------------- assembly
+def cov_colblock(x, mask, amp2, noise, ls, kernel: Callable = matern52):
+    """My [N, Nl] column slab of amp2·(k(X,X)+εI) + noise·I, masked.
+
+    Padded rows/cols (mask False) are replaced by identity rows exactly
+    as core/linalg.mask_psd_matrix does, so the sharded factorization of
+    a padded matrix equals the unsharded one.  ``x``/``mask`` are
+    replicated [N, D]/[N]; only the column slab is materialized.
+    """
+    ndev = lax.axis_size(OBS_AXIS)
+    n = x.shape[0]
+    nl = n // ndev
+    col0 = _my_index() * nl
+    x_cols = lax.dynamic_slice_in_dim(x, col0, nl, axis=0)
+    mask_cols = lax.dynamic_slice_in_dim(mask, col0, nl, axis=0)
+
+    k = kernel(x, x_cols, ls)                       # [N, Nl]
+    rows = lax.broadcasted_iota(jnp.int32, (n, nl), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (n, nl), 1) + col0
+    on_diag = rows == cols
+    k = amp2 * (k + _effective_jitter(n) * on_diag) + noise * on_diag
+    # identity rows/cols for padded points
+    both = mask[:, None] & mask_cols[None, :]
+    return jnp.where(both, k, on_diag.astype(k.dtype))
+
+
+# ------------------------------------------------------------- cholesky
+def cholesky_colblock(a_col):
+    """Distributed lower Cholesky of a PSD matrix in column slabs.
+
+    ``a_col``: my [N, Nl] slab.  Returns my slab of L (strictly upper
+    entries zeroed).
+    """
+    n, nl = a_col.shape
+    ndev = n // nl
+    j = _my_index()
+    row0 = j * nl
+    rows = lax.broadcasted_iota(jnp.int32, (n, nl), 0)
+
+    def factor_local(slab):
+        """Factor my slab as the active panel: chol of my diagonal
+        block + triangular solve of the rows below it."""
+        diag = lax.dynamic_slice(slab, (row0, 0), (nl, nl))
+        l_dd = jnp.linalg.cholesky(diag)
+        # rows below the diagonal block: A_below · L_dd⁻ᵀ, computed for
+        # the whole slab then masked by row position
+        solved = lax.linalg.triangular_solve(
+            l_dd, slab, left_side=False, lower=True, transpose_a=True)
+        l_panel = jnp.where(
+            rows < row0, 0.0,
+            jnp.where(rows < row0 + nl,
+                      _embed(l_dd, n, row0), solved))
+        return l_panel
+
+    slab = a_col
+    for k in range(ndev):
+        panel = factor_local(slab)
+        panel_k = _bcast_from(panel, k)             # [N, Nl] of column k
+        # my diagonal-block rows of panel k (for the trailing GEMM)
+        pk_mine = lax.dynamic_slice(panel_k, (row0, 0), (nl, nl))
+        trailing = slab - panel_k @ pk_mine.T
+        jk = jnp.int32(j)
+        slab = jnp.where(jk == k, panel_k,
+                         jnp.where(jk > k, trailing, slab))
+    return slab
+
+
+def _embed(block, n, row0):
+    """Place an [Nl, Nl] block at rows [row0, row0+Nl) of an [N, Nl]."""
+    out = jnp.zeros((n, block.shape[1]), block.dtype)
+    return lax.dynamic_update_slice(out, block, (row0, 0))
+
+
+# ---------------------------------------------------------------- solves
+def solve_colblock(l_col, b):
+    """Forward substitution L z = b with L in column slabs.
+
+    ``b``: replicated [N] or [N, C].  Returns replicated z of the same
+    shape.  Block pipeline: at step k the owner of block k solves its
+    diagonal system and broadcasts both its solution slice and its
+    column's contribution to later rows.
+    """
+    vec = b.ndim == 1
+    if vec:
+        b = b[:, None]
+    n, nl = l_col.shape
+    ndev = n // nl
+    row0 = _my_index() * nl
+    l_dd = lax.dynamic_slice(l_col, (row0, 0), (nl, nl))  # my diag block
+
+    z = jnp.zeros_like(b)
+    resid = b
+    for k in range(ndev):
+        r_mine = lax.dynamic_slice_in_dim(resid, row0, nl, axis=0)
+        z_mine = lax.linalg.triangular_solve(
+            l_dd, r_mine, left_side=True, lower=True)
+        # contribution of my column block to all later rows
+        upd_mine = l_col @ z_mine                         # [N, C]
+        z_k = _bcast_from(_embed(z_mine, n, row0), k)
+        upd_k = _bcast_from(upd_mine, k)
+        z = z + z_k
+        resid = resid - upd_k
+    return z[:, 0] if vec else z
+
+
+# --------------------------------------------------------- log marginal
+def logprob_colblock(x, y, mask, mean, amp2, noise, ls,
+                     kernel: Callable = matern52):
+    """GP log-marginal (reference logprob semantics, likelihood.py
+    parity) computed from obs-sharded blocks.  x/y/mask replicated."""
+    n = x.shape[0]
+    nl = n // lax.axis_size(OBS_AXIS)
+    row0 = _my_index() * nl
+    a_col = cov_colblock(x, mask, amp2, noise, ls, kernel)
+    l_col = cholesky_colblock(a_col)
+    # log det: my diagonal entries live at rows row0+c, column c
+    diag_mine = lax.dynamic_slice(l_col, (row0, 0), (nl, nl))
+    logdet_half = lax.psum(
+        jnp.sum(jnp.log(jnp.diagonal(diag_mine))), OBS_AXIS)
+    resid = jnp.where(mask, y - mean, 0.0)
+    zed = solve_colblock(l_col, resid)
+    return -logdet_half - 0.5 * jnp.sum(zed * zed)
+
+
+# ------------------------------------------------------------- posterior
+def posterior_colblock(x, y, mask, cand, mean, amp2, noise, ls,
+                       kernel: Callable = matern52):
+    """Posterior mean/var at replicated candidates from sharded blocks.
+
+    Mirrors acquire/ei.posterior_from_cache: m = mean + k*ᵀK⁻¹(y−mean),
+    v = amp2(1+ε) − Σ(L⁻¹k*)².
+    """
+    a_col = cov_colblock(x, mask, amp2, noise, ls, kernel)
+    l_col = cholesky_colblock(a_col)
+    kx = amp2 * kernel(x, cand, ls) * mask[:, None]       # [N, C]
+    resid = jnp.where(mask, y - mean, 0.0)
+    alpha = solve_colblock(l_col, resid)
+    alpha = _backsolve(l_col, alpha)
+    mu = mean + kx.T @ alpha
+    beta = solve_colblock(l_col, kx)
+    var = amp2 * (1.0 + JITTER) - jnp.sum(beta * beta, axis=0)
+    return mu, var
+
+
+def _backsolve(l_col, z):
+    """Backward substitution Lᵀ w = z (z, w replicated [N]).
+
+    Runs the block pipeline in reverse: Lᵀ's row block k is L's column
+    slab k transposed, so each step is fully local to one device.
+    """
+    n, nl = l_col.shape
+    ndev = n // nl
+    row0 = _my_index() * nl
+    l_dd = lax.dynamic_slice(l_col, (row0, 0), (nl, nl))
+
+    w = jnp.zeros_like(z)
+    for k in reversed(range(ndev)):
+        # my rows of Lᵀ = my column slab transposed: [Nl, N]
+        r_mine = lax.dynamic_slice_in_dim(z, row0, nl, axis=0)
+        r_mine = r_mine - l_col.T @ w
+        w_mine = lax.linalg.triangular_solve(
+            l_dd, r_mine[:, None], left_side=True, lower=True,
+            transpose_a=True)[:, 0]
+        w = w + _bcast_from(_embed(w_mine[:, None], n, row0), k)[:, 0]
+    return w
+
+
+# ------------------------------------------------------------ public API
+def make_obs_mesh(n_devices: int | None = None,
+                  devices=None) -> Mesh:
+    import numpy as np
+
+    devices = list(devices if devices is not None else jax.devices())
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (OBS_AXIS,))
+
+
+def sharded_logprob(mesh: Mesh, kernel: Callable = matern52):
+    """jit-compiled obs-sharded log-marginal over replicated inputs."""
+    fn = functools.partial(logprob_colblock, kernel=kernel)
+    rep = P()
+    mapped = jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(rep,) * 7, out_specs=rep,
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def sharded_posterior(mesh: Mesh, kernel: Callable = matern52):
+    """jit-compiled obs-sharded posterior mean/var at candidates."""
+    fn = functools.partial(posterior_colblock, kernel=kernel)
+    rep = P()
+    mapped = jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(rep,) * 8, out_specs=(rep, rep),
+        check_vma=False,
+    )
+    return jax.jit(mapped)

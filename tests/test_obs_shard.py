@@ -1,0 +1,118 @@
+"""obs-axis sharded GP primitives ≡ single-device reference.
+
+Validates engine/obs_shard.py on the 8-virtual-CPU-device mesh
+(SURVEY.md §4 distributed-tests-without-hardware strategy): the
+distributed Cholesky / solves / log-marginal / posterior must match the
+replicated core/linalg implementations to f32 accuracy.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spearmint_tpu.core import linalg
+from spearmint_tpu.core.likelihood import GPHypers, cov_matrix, log_marginal
+from spearmint_tpu.engine import obs_shard
+from spearmint_tpu.acquire import ei as ei_mod
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs multi-device mesh")
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return obs_shard.make_obs_mesh()
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.RandomState(3)
+    n_true, n, d = 50, 64, 3
+    x = np.zeros((n, d), np.float32)
+    x[:n_true] = rng.rand(n_true, d)
+    y = np.zeros(n, np.float32)
+    y[:n_true] = np.sin(3 * x[:n_true, 0]) + 0.1 * rng.randn(n_true)
+    mask = np.arange(n) < n_true
+    return (jnp.array(x), jnp.array(y), jnp.array(mask))
+
+
+HYP = dict(mean=0.1, amp2=0.8, noise=1e-2, ls=np.array([0.4, 0.7, 1.1]))
+
+
+def _hypers():
+    return GPHypers(mean=jnp.float32(HYP["mean"]),
+                    amp2=jnp.float32(HYP["amp2"]),
+                    noise=jnp.float32(HYP["noise"]),
+                    ls=jnp.array(HYP["ls"], jnp.float32))
+
+
+def test_cov_and_cholesky_match(mesh, problem):
+    x, y, mask = problem
+    h = _hypers()
+    k = cov_matrix(x, mask, h.amp2, h.noise, h.ls)
+    want = np.asarray(linalg.cholesky(k))
+
+    from jax.sharding import PartitionSpec as P
+
+    def dist(x, mask):
+        a = obs_shard.cov_colblock(x, mask, h.amp2, h.noise, h.ls)
+        return obs_shard.cholesky_colblock(a)
+
+    got = jax.jit(jax.shard_map(
+        dist, mesh=mesh, in_specs=(P(), P()),
+        out_specs=P(None, obs_shard.OBS_AXIS), check_vma=False,
+    ))(x, mask)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+
+
+def test_solves_match(mesh, problem):
+    x, y, mask = problem
+    h = _hypers()
+    k = cov_matrix(x, mask, h.amp2, h.noise, h.ls)
+    chol = linalg.cholesky(k)
+    resid = jnp.where(mask, y - h.mean, 0.0)
+    want_z = np.asarray(linalg.tri_solve(chol, resid[:, None]))[:, 0]
+
+    from jax.sharding import PartitionSpec as P
+
+    def dist(x, mask, r):
+        a = obs_shard.cov_colblock(x, mask, h.amp2, h.noise, h.ls)
+        l = obs_shard.cholesky_colblock(a)
+        z = obs_shard.solve_colblock(l, r)
+        w = obs_shard._backsolve(l, z)
+        return z, w
+
+    z, w = jax.jit(jax.shard_map(
+        dist, mesh=mesh, in_specs=(P(), P(), P()),
+        out_specs=(P(), P()), check_vma=False,
+    ))(x, mask, resid)
+    np.testing.assert_allclose(np.asarray(z), want_z, rtol=2e-4, atol=2e-5)
+    want_w = np.asarray(linalg.chol_solve(chol, resid))
+    np.testing.assert_allclose(np.asarray(w), want_w, rtol=2e-3, atol=2e-4)
+
+
+def test_logprob_matches(mesh, problem):
+    x, y, mask = problem
+    h = _hypers()
+    want = float(log_marginal(x, y, mask, h))
+    fn = obs_shard.sharded_logprob(mesh)
+    got = float(fn(x, y, mask, h.mean, h.amp2, h.noise, h.ls))
+    assert abs(got - want) / max(1.0, abs(want)) < 2e-4
+
+
+def test_posterior_matches(mesh, problem):
+    x, y, mask = problem
+    h = _hypers()
+    rng = np.random.RandomState(11)
+    cand = jnp.array(rng.rand(17, x.shape[1]), jnp.float32)
+
+    cache = ei_mod.make_cache(x, y, mask, h)
+    want_mu, want_var = ei_mod.posterior_from_cache(cache, x, mask, cand)
+
+    fn = obs_shard.sharded_posterior(mesh)
+    mu, var = fn(x, y, mask, cand, h.mean, h.amp2, h.noise, h.ls)
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(want_mu),
+                               rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(want_var),
+                               rtol=2e-3, atol=2e-4)
