@@ -11,10 +11,12 @@ SURVEY.md §3.2) with a jittable, vmappable projected L-BFGS:
     the EI objective batches over starts into single MXU-sized solves
     instead of scipy's one-point-at-a-time loop.
 
-This is projected L-BFGS rather than scipy's exact L-BFGS-B active-set
-algorithm; for smooth EI surfaces on the unit box the optima agree (test:
-``tests/test_optimize.py`` checks parity against scipy on random smooth
-functions).
+Bound handling follows L-BFGS-B's gradient-projection idea: variables
+pinned at a bound with an outward gradient are frozen each iteration and
+the quasi-Newton direction is taken in the free subspace (no generalized
+Cauchy-point subspace minimization — the projected Armijo ladder plays
+that role).  ``tests/test_optimize.py`` checks parity against scipy's
+fmin_l_bfgs_b on smooth and bound-active box problems.
 """
 
 from __future__ import annotations
@@ -114,11 +116,26 @@ def _lbfgs_single(
         [2.0 ** (-i) for i in range(0, 2 * n_steps, 2)], dtype
     )  # 1, 1/4, 1/16, ...
 
+    # Bound-activity tolerance for the active-set identification.
+    bound_eps = 10.0 * jnp.finfo(dtype).eps * jnp.maximum(
+        1.0, jnp.max(upper - lower))
+
     def step(st: _State, _):
-        d = -_two_loop(st.g, st.s_hist, st.y_hist, st.rho_hist, st.valid)
+        # Active-set identification (the L-BFGS-B gradient-projection
+        # idea, scipy parity): a variable pinned at a bound whose
+        # gradient points outward is frozen this step, and the two-loop
+        # direction is computed in the free subspace — otherwise the
+        # quasi-Newton direction drags bound-active coordinates back
+        # into the interior and the iteration zigzags along the face.
+        at_lo = (st.x <= lower + bound_eps) & (st.g > 0)
+        at_hi = (st.x >= upper - bound_eps) & (st.g < 0)
+        active = at_lo | at_hi
+        g_free = jnp.where(active, 0.0, st.g)
+        d = -_two_loop(g_free, st.s_hist, st.y_hist, st.rho_hist, st.valid)
+        d = jnp.where(active, 0.0, d)
         # Ensure descent; fall back to steepest descent otherwise.
-        descent = jnp.dot(d, st.g) < 0
-        d = jnp.where(descent, d, -st.g)
+        descent = jnp.dot(d, g_free) < 0
+        d = jnp.where(descent, d, -g_free)
 
         x_trys = jax.vmap(lambda t: project(st.x + t * d))(ladder)
         f_trys = jax.vmap(fun)(x_trys)

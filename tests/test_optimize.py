@@ -51,3 +51,46 @@ def test_batched_starts_pick_distinct_basins():
     res = minimize_lbfgs_b(fun, starts, jnp.zeros(2), jnp.ones(2), iters=100)
     xs = np.asarray(res.x)[:, 0]
     assert abs(xs[0] - 0.2) < 0.05 and abs(xs[1] - 0.8) < 0.05
+
+
+def test_bound_active_quadratics_match_scipy(rng):
+    """Random quadratics with minima outside the box: the active-set
+    step must land on the same bound-active solution scipy finds."""
+    import jax
+
+    d = 4
+    for trial in range(5):
+        a = rng.randn(d, d).astype(np.float64)
+        q = a @ a.T + d * np.eye(d)          # SPD
+        center = 1.5 * rng.randn(d)           # usually outside [0,1]^d
+
+        def f_np(x):
+            r = x - center
+            return float(0.5 * r @ q @ r)
+
+        def g_np(x):
+            return q @ (x - center)
+
+        qj = jnp.array(q)
+        cj = jnp.array(center)
+        f_jax = lambda x: 0.5 * (x - cj) @ qj @ (x - cj)
+
+        x0 = rng.rand(d)
+        want_x, want_f, info = spo.fmin_l_bfgs_b(
+            f_np, x0.copy(), fprime=g_np, bounds=[(0, 1)] * d)
+        with jax.enable_x64(True):
+            res = minimize_lbfgs_b(
+                f_jax, jnp.array(x0)[None], jnp.zeros(d), jnp.ones(d),
+                iters=100)
+        np.testing.assert_allclose(np.asarray(res.x[0]), want_x,
+                                   atol=5e-5, err_msg=f"trial {trial}")
+        assert float(res.fun[0]) <= want_f + 1e-6 * max(1.0, abs(want_f))
+
+
+def test_active_set_does_not_stick_interior_optimum():
+    # starts ON the boundary with inward gradient must still move inside
+    fun = lambda x: jnp.sum((x - 0.5) ** 2)
+    starts = jnp.array([[0.0, 0.0], [1.0, 1.0], [0.0, 1.0]])
+    res = minimize_lbfgs_b(fun, starts, jnp.zeros(2), jnp.ones(2), iters=50)
+    np.testing.assert_allclose(np.asarray(res.x),
+                               0.5 * np.ones((3, 2)), atol=1e-4)
