@@ -21,6 +21,7 @@ _KNOWN = (
     "RandomChooser",
     "SequentialChooser",
     "GridChooser",
+    "RandomForestEIChooser",
 )
 
 
