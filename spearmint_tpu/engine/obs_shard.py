@@ -257,6 +257,52 @@ def sharded_logprob(mesh: Mesh, kernel: Callable = matern52):
     return jax.jit(mapped)
 
 
+def _marginal_colblock(x, y, mask, hypers, kernel=matern52):
+    """core.likelihood.log_marginal drop-in, obs-sharded (with the same
+    NaN→−inf guard so slice sampling treats failed factorizations as
+    zero-probability rather than poisoning the chain)."""
+    lp = logprob_colblock(x, y, mask, hypers.mean, hypers.amp2,
+                          hypers.noise, hypers.ls, kernel)
+    return jnp.where(jnp.isnan(lp), -jnp.inf, lp)
+
+
+def sharded_sample_hypers(mesh: Mesh, config=None):
+    """One full slice-sampling hyperparameter sweep with every GP
+    log-marginal evaluation computed obs-sharded.
+
+    This is the chains < devices regime: a single chain's O(n³)
+    likelihood work spreads over the mesh instead of idling all but one
+    device.  Inputs/outputs are replicated; the n×n working set only
+    ever exists as column slabs.
+    """
+    from spearmint_tpu.mcmc.chains import MCMCConfig, sample_hypers
+
+    config = config or MCMCConfig()
+    cfg = config._replace(marginal=_marginal_colblock)
+
+    def fn(key, mean, amp2, noise, ls, x, y, mask):
+        from spearmint_tpu.core.likelihood import GPHypers
+
+        h = sample_hypers(key, GPHypers(mean, amp2, noise, ls), x, y,
+                          mask, cfg)
+        return h.mean, h.amp2, h.noise, h.ls
+
+    rep = P()
+    mapped = jax.shard_map(
+        fn, mesh=mesh, in_specs=(rep,) * 8,
+        out_specs=(rep,) * 4, check_vma=False,
+    )
+
+    def wrapped(key, hypers, x, y, mask):
+        from spearmint_tpu.core.likelihood import GPHypers
+
+        out = jax.jit(mapped)(key, hypers.mean, hypers.amp2, hypers.noise,
+                              hypers.ls, x, y, mask)
+        return GPHypers(*out)
+
+    return wrapped
+
+
 def sharded_posterior(mesh: Mesh, kernel: Callable = matern52):
     """jit-compiled obs-sharded posterior mean/var at candidates."""
     fn = functools.partial(posterior_colblock, kernel=kernel)

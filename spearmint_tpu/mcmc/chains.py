@@ -37,6 +37,10 @@ class MCMCConfig(NamedTuple):
     noise_scale: float = priors.NOISE_SCALE
     amp2_scale: float = priors.AMP2_SCALE
     kernel: Callable = matern52
+    # GP log-marginal implementation; engine/obs_shard swaps in its
+    # observation-sharded version (same (x, y, mask, hypers, kernel)
+    # signature) so the whole slice-sampling sweep runs distributed.
+    marginal: Callable = log_marginal
 
 
 def init_hypers(y: jnp.ndarray, mask: jnp.ndarray, ndim: int) -> GPHypers:
@@ -65,7 +69,7 @@ def _joint_logprob(vec, x, y, mask, ls, config: MCMCConfig):
     )
     amp2_s = jnp.where(amp2 > 0.0, amp2, 1.0)
     noise_s = jnp.where(noise > 0.0, noise, 1.0)
-    lp = log_marginal(
+    lp = config.marginal(
         x, y, mask, GPHypers(mean, amp2_s, noise_s, ls), config.kernel
     )
     lp = lp + priors.lognormal_amp2_term(amp2_s, config.amp2_scale)
@@ -78,7 +82,7 @@ def _ls_logprob(ls, x, y, mask, hypers: GPHypers, config: MCMCConfig):
     """Log posterior of ARD length scales under the tophat prior."""
     valid = priors.ls_in_bounds(ls, config.max_ls)
     ls_s = jnp.clip(ls, 1e-6, config.max_ls)
-    lp = log_marginal(
+    lp = config.marginal(
         x, y, mask, GPHypers(hypers.mean, hypers.amp2, hypers.noise, ls_s),
         config.kernel,
     )

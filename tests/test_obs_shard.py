@@ -116,3 +116,25 @@ def test_posterior_matches(mesh, problem):
                                rtol=2e-3, atol=2e-4)
     np.testing.assert_allclose(np.asarray(var), np.asarray(want_var),
                                rtol=2e-3, atol=2e-4)
+
+
+def test_sharded_slice_sweep_matches_single_device(mesh, problem):
+    """A full slice-sampling hyperparameter sweep with the obs-sharded
+    log-marginal must track the single-device sweep: identical keys →
+    identical accept/reject paths up to f32 reduction-order noise."""
+    from spearmint_tpu.mcmc.chains import MCMCConfig, init_hypers, sample_hypers
+
+    x, y, mask = problem
+    h0 = init_hypers(y, mask, x.shape[1])
+    key = jax.random.PRNGKey(42)
+
+    want = sample_hypers(key, h0, x, y, mask, MCMCConfig())
+    fn = obs_shard.sharded_sample_hypers(mesh)
+    got = fn(key, h0, x, y, mask)
+
+    for name in ("mean", "amp2", "noise"):
+        np.testing.assert_allclose(
+            float(getattr(got, name)), float(getattr(want, name)),
+            rtol=1e-3, err_msg=name)
+    np.testing.assert_allclose(np.asarray(got.ls), np.asarray(want.ls),
+                               rtol=1e-3)
