@@ -26,6 +26,18 @@ matrices from core/linalg (identity rows) factor exactly.  Off-TPU the
 kernel runs in interpreter mode, so CPU tests exercise the same code.
 
 The k-loop is static (one pallas_call per panel, all inside one jit).
+
+INTEGRATION STATUS (measured, v5e): isolated and under vmap/fori/while
+contexts this kernel holds 1.27–1.34× over XLA's cholesky at
+[10, 6144, 6144] f32.  Enabled inside the full suggest step
+(SPEARMINT_TPU_PALLAS_CHOL=1) it *regresses* end-to-end (17.9 s vs
+5.6 s flagship) and the jit compile of one slice-sampling sweep blows
+past 25 minutes: every logprob call site in the sweep's while/scan
+bodies inlines nb pallas_calls and Mosaic recompiles each, and the
+aliased in-place update forbids the producer/consumer fusions XLA
+otherwise applies around its own cholesky.  Hence the engine default
+stays XLA; this kernel remains correct, tested, and available for
+few-call-site, large-N batch contexts.
 """
 
 from __future__ import annotations
