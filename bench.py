@@ -40,7 +40,8 @@ def make_problem(n, d, cands, seed=0):
 
 
 def time_tpu(n, d, chains, cands, reps, lbfgs_iters=20, grid_subset=10,
-             n_pending=0, n_fantasies=10, kernel_name="Matern52"):
+             n_pending=0, n_fantasies=10, kernel_name="Matern52",
+             explicit_inverse=True):
     import jax
     import jax.numpy as jnp
 
@@ -65,7 +66,8 @@ def time_tpu(n, d, chains, cands, reps, lbfgs_iters=20, grid_subset=10,
     cfg = SuggestConfig(mcmc_iters=1, grid_subset=grid_subset,
                         lbfgs_iters=lbfgs_iters,
                         has_pending=n_pending > 0, n_fantasies=n_fantasies,
-                        kernel_name=kernel_name)
+                        kernel_name=kernel_name,
+                        explicit_inverse=explicit_inverse)
 
     key = jax.random.PRNGKey(0)
 
@@ -163,8 +165,11 @@ PRESETS = {
     # async: 64 pending fantasized (F=100 draws/sample)
     "async": dict(n=1000, d=2, chains=10, cands=2048, n_pending=64,
                   n_fantasies=100),
-    # large-n: 10k observations (single-chip slice of the pod config)
-    "large": dict(n=10000, d=2, chains=4, cands=8192),
+    # large-n: 10k observations (single-chip slice of the pod config);
+    # no materialized L^-1 — the extra [S, 12288, 12288] buffer doesn't
+    # pay at this memory pressure
+    "large": dict(n=10000, d=2, chains=4, cands=8192,
+                  explicit_inverse=False),
     # pallas kernel path
     "pallas": dict(n=5000, d=2, chains=10, cands=2048,
                    kernel_name="Matern52Pallas"),
@@ -182,6 +187,8 @@ def main(argv=None):
     p.add_argument("--quick", action="store_true",
                    help="small shapes for smoke testing")
     p.add_argument("--skip-baseline", action="store_true")
+    p.add_argument("--no-explicit-inverse", action="store_true",
+                   help="triangular solves instead of materialized L^-1")
     args = p.parse_args(argv)
 
     extra = {}
@@ -193,6 +200,8 @@ def main(argv=None):
     if args.quick:
         args.n, args.cands, args.reps = 256, 256, 2
 
+    if args.no_explicit_inverse:
+        extra["explicit_inverse"] = False
     tpu_latency = time_tpu(args.n, args.d, args.chains, args.cands,
                            args.reps, **extra)
 

@@ -75,6 +75,37 @@ def masked_cholesky(k: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return cholesky(mask_psd_matrix(k, mask))
 
 
+def tri_inverse(chol: jnp.ndarray, chunk: int = 1024) -> jnp.ndarray:
+    """Explicit L⁻¹ of a lower-triangular matrix, RHS-chunked.
+
+    A single triangular_solve against the full N×N identity makes XLA
+    keep every blocked-solve intermediate live at once (observed: 35 GB
+    of [B, N−k·128, N] temps at B=10, N=6144 → compile-time OOM).
+    ``lax.map`` over identity column chunks bounds the live set to one
+    [..., N, chunk] chain while the factor stays resident.
+    """
+    n = chol.shape[-1]
+    if n <= chunk:
+        eye = jnp.eye(n, dtype=chol.dtype)
+        return jax.lax.linalg.triangular_solve(
+            chol, jnp.broadcast_to(eye, chol.shape),
+            left_side=True, lower=True)
+    n_chunks = -(-n // chunk)
+    padded = n_chunks * chunk
+    eye = jnp.eye(n, padded, dtype=chol.dtype)          # [N, padded]
+    cols = jnp.moveaxis(eye.reshape(n, n_chunks, chunk), 1, 0)
+
+    def solve_chunk(e):
+        b = jnp.broadcast_to(e, chol.shape[:-2] + e.shape)
+        return jax.lax.linalg.triangular_solve(
+            chol, b, left_side=True, lower=True)
+
+    out = jax.lax.map(solve_chunk, cols)   # [chunks, ..., N, chunk]
+    out = jnp.moveaxis(out, 0, -2)         # [..., N, chunks, chunk]
+    out = out.reshape(out.shape[:-2] + (padded,))
+    return out[..., :n]
+
+
 def chol_solve(chol: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Solve K x = b given K = L Lᵀ (reference ``spla.cho_solve``)."""
     y = jax.scipy.linalg.solve_triangular(chol, b, lower=True)

@@ -62,6 +62,11 @@ class SuggestConfig(NamedTuple):
                                    # groups of this size — bounds HBM at
                                    # large n (chains·n² cov buffers);
                                    # chains must divide evenly
+    explicit_inverse: bool = True  # materialize L⁻¹ per sample so every
+                                   # EI eval (grid sweep + L-BFGS point
+                                   # evals) is a GEMM, not a sequential
+                                   # trisolve; costs one extra [S, N, N]
+                                   # buffer + one triangular inversion
 
     @property
     def kernel(self):
@@ -172,15 +177,18 @@ def suggest_step(
             alpha = _lin.chol_solve(chol, resid.T).T              # [F, N+P]
             best = jnp.min(jnp.where(mask_aug[None, :], y_augs, jnp.inf),
                            axis=1)                                 # [F]
+            linv = (_lin.tri_inverse(chol) if config.explicit_inverse
+                    else None)
             return ei_mod.PosteriorCache(chol=chol, alpha=alpha, best=best,
-                                         hypers=h)
+                                         hypers=h, linv=linv)
 
         caches = _chunked_vmap(per_sample_cache, config.chain_chunk)(
             jax.random.split(k_fant, s), flat)
         x_all, mask_all = x_aug, mask_aug
     else:
         caches = _chunked_vmap(
-            lambda h: ei_mod.make_cache(x, y, mask, h, kernel),
+            lambda h: ei_mod.make_cache(x, y, mask, h, kernel,
+                                        with_inverse=config.explicit_inverse),
             config.chain_chunk,
         )(flat)
         x_all, mask_all = x, mask
