@@ -77,7 +77,30 @@ def suggest_batch(expt_dir, config, chooser, n, grid_size, grid_seed,
             values[complete_idx] = vals
             durations[complete_idx] = durs
             pending_idx = np.arange(n_base + len(comp), grid.shape[0])
+            # Base-grid rows that coincide with an observed or pending
+            # point are no longer candidates — without this, Random/
+            # Sequential choosers re-suggest completed points (the typed
+            # round-trip quantizes, so compare in unit space with a
+            # tolerance wide enough to absorb INT/ENUM decode rounding).
             candidates = np.arange(n_base)
+            taken = comp + pend
+            if taken:
+                # Observed rows round-tripped through typed space (INT
+                # rounds, ENUM bins), so canonicalize base rows the same
+                # way before comparing.
+                canon = np.stack([
+                    varmap.typed_to_unit(
+                        config.variables,
+                        [str(t) for t in
+                         varmap.unit_to_typed(config.variables, b)])
+                    for b in base])
+                d2 = ((canon[:, None, :] - np.asarray(taken)[None, :, :]) ** 2
+                      ).sum(-1)
+                candidates = candidates[d2.min(axis=1) > 1e-12]
+            if len(candidates) == 0:
+                raise RuntimeError(
+                    f"grid exhausted: all {n_base} base points evaluated "
+                    "or pending; raise --grid-size")
 
             selected = chooser.next(grid, values, durations, candidates,
                                     pending_idx, complete_idx)

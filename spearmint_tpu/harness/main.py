@@ -83,7 +83,11 @@ def attempt_dispatch(expt_dir, config, chooser, driver, options) -> str:
     grid.set_submitted(job_id)
     job = loop.make_job(grid, config, job_id)
     proc_id = driver.submit_job(job)
-    grid.set_submitted(job_id, proc_id=proc_id)
+    # Record proc_id without touching status: the runner may already have
+    # flipped this job RUNNING/COMPLETE between submit_job returning and
+    # this write, and set_submitted would regress it (losing the result
+    # when detect_broken later sees a dead proc on a SUBMITTED job).
+    grid.set_proc_id(job_id, proc_id)
     codec.log(f"submitted job {job_id} (proc {proc_id}): "
               f"{grid.unit_to_list(job_id)}")
     from spearmint_tpu.utils.events import EventLog

@@ -231,6 +231,20 @@ class ExperimentGrid:
 
         self._mutate(fn)
 
+    def set_proc_id(self, job_id, proc_id):
+        """Record the driver's process id WITHOUT touching status.
+
+        The async loop writes proc_id after ``driver.submit_job`` returns;
+        a fast runner may have already flipped the job RUNNING/COMPLETE in
+        the window, and regressing status here would destroy its result
+        (the reference's bookkeeping has the same submit-then-record shape,
+        main.py ≈L200)."""
+
+        def fn():
+            self.proc_ids[job_id] = proc_id
+
+        self._mutate(fn)
+
     def set_candidate(self, job_id):
         self._set_state(job_id, CANDIDATE_STATE)
 

@@ -86,3 +86,30 @@ def test_lite_cli_smoke(tmp_path, config):
     comp, vals, durs, pend = lite.parse_results(
         os.path.join(expt, "results.dat"), config.variables)
     assert len(pend) == 1
+
+
+def test_lite_never_resuggests_completed_points(tmp_path, config):
+    """Base-grid rows matching observed/pending rows must leave the
+    candidate set, or Random/Sequential choosers duplicate them."""
+    from spearmint_tpu.store.sobol import sobol_grid
+
+    expt = str(tmp_path)
+    base = sobol_grid(4, 5, 1)
+    with open(os.path.join(expt, "results.dat"), "w") as f:
+        for i in range(4):  # evaluate the first 4 of 5 grid points
+            typed = varmap.unit_to_typed(config.variables, base[i])
+            f.write(f"{float(i)} 1.0 "
+                    + " ".join(str(t) for t in typed) + "\n")
+    chooser = get_chooser("SequentialChooser", expt, "")
+    rows = lite.suggest_batch(expt, config, chooser, n=1, grid_size=5,
+                              grid_seed=1)
+    suggested = varmap.typed_to_unit(config.variables,
+                                     [str(t) for t in rows[0]])
+    comp, _, _, pend = lite.parse_results(
+        os.path.join(expt, "results.dat"), config.variables)
+    for pt in comp:
+        assert not np.allclose(suggested, pt), "re-suggested an observed point"
+    # and exhaustion raises instead of duplicating
+    with pytest.raises(RuntimeError, match="exhausted"):
+        lite.suggest_batch(expt, config, chooser, n=1, grid_size=5,
+                           grid_seed=1)

@@ -166,3 +166,22 @@ def test_sobol_determinism_and_range():
     assert np.all(a >= 0) and np.all(a < 1)
     # low discrepancy: each dim covers the range decently
     assert np.all(a.max(0) > 0.8) and np.all(a.min(0) < 0.2)
+
+
+def test_proc_id_write_preserves_completed_status(tmp_path):
+    """Dispatch race: the runner completes a job between driver.submit_job
+    returning and the loop recording the proc id.  set_proc_id must not
+    regress status (set_submitted here would, and detect_broken would then
+    destroy the result)."""
+    cfg = codec.parse_text_config(CONFIG_PB)
+    grid = ExperimentGrid(str(tmp_path), cfg.variables, grid_size=10)
+    grid.set_submitted(4)
+    # fast runner wins the race
+    ExperimentGrid.job_running(str(tmp_path), 4)
+    ExperimentGrid.job_complete(str(tmp_path), 4, 0.42, 0.01)
+    # loop records the proc id afterwards
+    grid.set_proc_id(4, 9999)
+    fresh = ExperimentGrid(str(tmp_path))
+    assert 4 in fresh.get_complete()
+    assert fresh.get_best() == (0.42, 4)
+    assert fresh.get_proc_id(4) == 9999
