@@ -108,6 +108,38 @@ class GPEIOptChooser:
             )
             os.replace(tmp, self.state_file)
 
+    # ------------------------------------------------------ shared helpers
+    def _burn_chains(self, key, hypers, xj, yj, mj):
+        """Burn-in sweeps for one vmapped chain family (reference
+        _real_init ≈L90: ~100 sweeps before the first suggestion)."""
+        import jax
+
+        from spearmint_tpu.mcmc.chains import MCMCConfig, sample_hypers
+
+        mcfg = MCMCConfig(noiseless=self.noiseless)
+
+        def burn_chain(k, h):
+            def body(hh, kk):
+                return sample_hypers(kk, hh, xj, yj, mj, mcfg), None
+
+            out, _ = jax.lax.scan(
+                body, h, jax.random.split(k, self.burnin_steps)
+            )
+            return out
+
+        return jax.jit(jax.vmap(burn_chain))(
+            jax.random.split(key, self.chains), hypers
+        )
+
+    def _emit_suggest(self, latency, n_obs, n_pending, n_cand, **extra):
+        """North-star observability: every GP chooser logs its suggestion
+        latency (SURVEY.md §5.1/§5.5)."""
+        self.events.emit(
+            "suggest", chooser=type(self).__name__,
+            latency_s=round(latency, 4), n_obs=int(n_obs),
+            n_pending=int(n_pending), n_cand=int(n_cand), **extra,
+        )
+
     # ------------------------------------------------------ the protocol
     def next(self, grid, values, durations, candidates, pending, complete):
         # Bootstrap exactly like the reference: fewer than 2 completions →
@@ -124,7 +156,6 @@ class GPEIOptChooser:
             init_chain_states,
             suggest_step,
         )
-        from spearmint_tpu.mcmc.chains import MCMCConfig, sample_hypers
         from spearmint_tpu.utils.platform import ensure_backend
 
         ensure_backend()
@@ -174,19 +205,7 @@ class GPEIOptChooser:
             self._hypers = init_chain_states(yj, mj, ndim, self.chains)
         if not self._burned_in and self.burnin_steps > 0:
             key, kb = jax.random.split(key)
-            mcfg = MCMCConfig(noiseless=self.noiseless)
-
-            def burn_chain(k, h):
-                def body(hh, kk):
-                    return sample_hypers(kk, hh, xj, yj, mj, mcfg), None
-                out, _ = jax.lax.scan(
-                    body, h, jax.random.split(k, self.burnin_steps)
-                )
-                return out
-
-            self._hypers = jax.jit(jax.vmap(burn_chain))(
-                jax.random.split(kb, self.chains), self._hypers
-            )
+            self._hypers = self._burn_chains(kb, self._hypers, xj, yj, mj)
             self._burned_in = True
 
         # Reference semantics: mcmc_iters = hyperparameter samples PER
@@ -221,9 +240,8 @@ class GPEIOptChooser:
         self._hypers = res.hypers
         self._key_state += 1
         self._save_state()
-        self.events.emit(
-            "suggest", chooser=type(self).__name__, latency_s=round(latency, 4),
-            n_obs=int(n), n_pending=int(p), n_cand=int(c),
+        self._emit_suggest(
+            latency, n, p, c,
             ei_best=float(res.best_cand_ei), ei_opt=float(res.ei_opt),
             amp2_med=float(np.median(np.asarray(res.hypers.amp2))),
             noise_med=float(np.median(np.asarray(res.hypers.noise))),

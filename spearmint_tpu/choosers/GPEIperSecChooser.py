@@ -123,7 +123,15 @@ class GPEIperSecChooser(GPEIOptChooser):
         if self._hypers is None:
             self._hypers = init_chain_states(yj, mj, ndim, self.chains)
             self._time_hypers = init_chain_states(tj, mj, ndim, self.chains)
-            self._burned_in = True  # per-sec burns in through regular calls
+        if not self._burned_in and self.burnin_steps > 0:
+            # Reference parity: GPEIperSecChooser mirrors the flagship's
+            # _real_init burn-in for BOTH hyperparameter families, so the
+            # first cost-aware suggestions come from mixed chains.
+            key, kb, kt = jax.random.split(key, 3)
+            self._hypers = self._burn_chains(kb, self._hypers, xj, yj, mj)
+            self._time_hypers = self._burn_chains(
+                kt, self._time_hypers, xj, tj, mj)
+            self._burned_in = True
 
         # mcmc_iters = samples per suggestion, spread across chains
         # (see GPEIOptChooser.next).
@@ -136,17 +144,28 @@ class GPEIperSecChooser(GPEIOptChooser):
             lbfgs_iters=self.lbfgs_iters,
             optimize=self.optimize,
             has_pending=p > 0,
+            n_fantasies=self.pending_samples,
         )
+        import time as _time
+
         key, ks = jax.random.split(key)
+        t0 = _time.perf_counter()
         res = suggest_step_per_sec(
             ks, self._hypers, self._time_hypers, xj, yj, tj, mj,
             jnp.array(pend_p), jnp.array(pend_mask),
             jnp.array(cand_p), jnp.array(cand_mask), cfg,
         )
+        jax.block_until_ready(res.ei_per_s)
+        latency = _time.perf_counter() - t0
         self._hypers = res.hypers
         self._time_hypers = res.time_hypers
         self._key_state += 1
         self._save_state()
+        self._emit_suggest(
+            latency, n, p, c,
+            ei_best=float(res.best_cand_ei), ei_opt=float(res.ei_opt),
+            time_amp2_med=float(np.median(np.asarray(res.time_hypers.amp2))),
+        )
 
         ei_opt = float(res.ei_opt)
         best_cand_ei = float(res.best_cand_ei)

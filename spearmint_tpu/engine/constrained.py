@@ -71,8 +71,11 @@ def _probit_loglik(ff, z, mask):
 
 def _sample_constraint(key, state: ConstraintState, x, z, mask, kernel,
                        max_ls, ess_sweeps=4):
-    """One constraint-model sweep: latent ESS moves + ls slice move."""
-    k_ess, k_ls = jax.random.split(key)
+    """One constraint-model sweep: latent ESS moves, ls slice move, then
+    an amp2 slice move under the reference's lognormal amplitude prior
+    (GPConstrainedEIChooser samples the constraint GP's amp2 with the
+    same machinery as the value GP's, ≈L500)."""
+    k_ess, k_ls, k_amp = jax.random.split(key, 3)
 
     cov = _constraint_cov(x, mask, state.ls, state.amp2, kernel)
     chol = linalg.cholesky(cov)
@@ -96,7 +99,60 @@ def _sample_constraint(key, state: ConstraintState, x, z, mask, kernel,
         return jnp.where(valid, lp, -jnp.inf)
 
     ls = slice_sample(k_ls, state.ls, ls_logprob, compwise=True)
-    return ConstraintState(ls=ls, amp2=state.amp2, ff=ff)
+
+    # amp2 move: K = amp2·M with M fixed by the new ls, so every slice
+    # eval is closed-form off ONE cached factorization of the unit
+    # matrix M — ½logdet(amp2·M) = (n/2)·log amp2 + ½logdet M over real
+    # rows (padded diag of M is 1 → contributes 0), and the quadratic
+    # form scales as 1/amp2 (padded ff entries are exact 0).
+    ls_s = jnp.clip(ls, 1e-6, max_ls)
+    unit = _constraint_cov(x, mask, ls_s, jnp.asarray(1.0, x.dtype), kernel)
+    chu = linalg.cholesky(unit)
+    quad = jnp.dot(ff, linalg.chol_solve(chu, ff))
+    half_logdet_unit = linalg.logdet_from_chol(chu)
+    n_eff = jnp.sum(mask.astype(x.dtype))
+
+    def amp2_logprob(a_vec):
+        a = a_vec[0]
+        valid = a > 0.0
+        a_s = jnp.where(valid, a, 1.0)
+        lp = (-0.5 * n_eff * jnp.log(a_s) - half_logdet_unit
+              - 0.5 * quad / a_s + priors.lognormal_amp2_term(a_s))
+        lp = jnp.where(jnp.isnan(lp), -jnp.inf, lp)
+        return jnp.where(valid, lp, -jnp.inf)
+
+    amp2 = slice_sample(k_amp, state.amp2[None], amp2_logprob,
+                        compwise=True)[0]
+    return ConstraintState(ls=ls, amp2=amp2, ff=ff)
+
+
+@partial(jax.jit, static_argnames=("kernel", "max_ls", "steps"))
+def burnin_constraint_states(
+    key: jax.Array,
+    constraint: ConstraintState,   # [chains, ...]
+    x: jnp.ndarray,
+    z: jnp.ndarray,
+    mask: jnp.ndarray,
+    steps: int,
+    kernel=None,
+    max_ls: float = priors.MAX_LS,
+) -> ConstraintState:
+    """Burn in the latent constraint chains (mirrors mcmc.chains.burnin
+    for the value GP; the reference burns in ALL chooser state in
+    _real_init ≈L90)."""
+    from spearmint_tpu.core.kernels import matern52
+
+    kern = kernel or matern52
+    chains = constraint.amp2.shape[0]
+
+    def burn(k, c0):
+        def body(c, kk):
+            return _sample_constraint(kk, c, x, z, mask, kern, max_ls), None
+
+        out, _ = lax.scan(body, c0, jax.random.split(k, steps))
+        return out
+
+    return jax.vmap(burn)(jax.random.split(key, chains), constraint)
 
 
 def _p_valid_at(state: ConstraintState, x, mask, cand, kernel):

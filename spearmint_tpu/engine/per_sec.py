@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from spearmint_tpu.acquire import ei as ei_mod
-from spearmint_tpu.acquire.fantasy import augment, fantasize
+from spearmint_tpu.acquire.fantasy import fantasize_batch
 from spearmint_tpu.acquire.optimize import minimize_lbfgs_b
 from spearmint_tpu.core.likelihood import GPHypers
 from spearmint_tpu.engine.suggest import SuggestConfig, _flatten_samples
@@ -80,13 +80,30 @@ def suggest_step_per_sec(
 
     # --- value-GP caches (with fantasies when pending) ------------------
     if config.has_pending:
+        from spearmint_tpu.core import linalg as _lin
+        from spearmint_tpu.core.likelihood import cov_matrix
+
         x_aug = jnp.concatenate([x, pend], axis=0)
         mask_aug = jnp.concatenate([mask, pend_mask], axis=0)
+        n_fant = config.n_fantasies
 
         def val_cache(kk, h):
-            fant = fantasize(kk, x, y, mask, pend, pend_mask, h, kernel)
-            _, y_aug, _ = augment(x, y, mask, pend, pend_mask, fant)
-            return ei_mod.make_cache(x_aug, y_aug, mask_aug, h, kernel)
+            # F fantasy draws share one augmented factorization (the
+            # Cholesky depends only on X locations) — same batched
+            # fantasy axis as the flagship (engine/suggest.py).
+            fants = fantasize_batch(kk, x, y, mask, pend, pend_mask, h,
+                                    n_fant, kernel)                # [F, P]
+            y_augs = jnp.concatenate(
+                [jnp.broadcast_to(y, (n_fant,) + y.shape), fants], axis=1)
+            k_aug = cov_matrix(x_aug, mask_aug, h.amp2, h.noise, h.ls,
+                               kernel)
+            chol = _lin.cholesky(k_aug)
+            resid = jnp.where(mask_aug[None, :], y_augs - h.mean, 0.0)
+            alpha = _lin.chol_solve(chol, resid.T).T              # [F, N+P]
+            best = jnp.min(jnp.where(mask_aug[None, :], y_augs, jnp.inf),
+                           axis=1)                                 # [F]
+            return ei_mod.PosteriorCache(chol=chol, alpha=alpha, best=best,
+                                         hypers=h)
 
         caches = jax.vmap(val_cache)(jax.random.split(k_fant, s), flat)
         x_all, mask_all = x_aug, mask_aug
@@ -104,7 +121,11 @@ def suggest_step_per_sec(
         eis = jax.vmap(
             lambda c: ei_mod.ei_from_cache_chunked(c, x_all, mask_all,
                                                    cand_pts, kernel)
-        )(caches)
+        )(caches)                     # [S, C'] or [S, F, C'] with fantasies
+        if eis.ndim == 3:
+            # E[seconds] is fantasy-independent, so averaging EI over the
+            # fantasy axis first is exactly the mean of EI/sec.
+            eis = jnp.mean(eis, axis=1)
         mus = jax.vmap(
             lambda c: ei_mod.posterior_from_cache(c, x, mask, cand_pts,
                                                   kernel)[0]

@@ -81,7 +81,7 @@ def test_constrained_chooser_protocol(tmp_path):
     rng = np.random.RandomState(1)
     chooser = get_chooser(
         "GPConstrainedEIChooser", str(tmp_path),
-        "mcmc_iters=2,chains=3,grid_subset=3,lbfgs_iters=8",
+        "mcmc_iters=2,chains=3,burnin=10,grid_subset=3,lbfgs_iters=8",
     )
     grid = rng.rand(40, 2)
     values = np.full(40, np.nan)
@@ -93,3 +93,57 @@ def test_constrained_chooser_protocol(tmp_path):
     out = chooser.next(grid, values, np.full(40, np.nan), candidates, [],
                        complete)
     assert isinstance(out, (int, tuple))
+
+
+def _constrained_problem(rng, n_grid=40, n_comp=12):
+    grid = rng.rand(n_grid, 2)
+    values = np.full(n_grid, np.nan)
+    complete = np.arange(n_comp)
+    vals = 2.0 * grid[complete, 1] + 0.1 * rng.randn(n_comp)
+    vals[grid[complete, 0] > 0.5] = np.nan  # violations
+    values[complete] = vals
+    candidates = np.arange(n_comp, n_grid)
+    return grid, values, candidates, complete
+
+
+def test_constrained_samples_amp2_and_persists_state(tmp_path):
+    """Constraint amp2 must be slice-sampled (not frozen at 1.0) and the
+    whole ConstraintState must survive a chooser restart (the reference
+    pickles all chooser state, SURVEY.md §5.4)."""
+    import os
+
+    from spearmint_tpu.choosers import get_chooser
+
+    rng = np.random.RandomState(2)
+    args = "mcmc_iters=4,chains=3,burnin=15,grid_subset=3,lbfgs_iters=8"
+    chooser = get_chooser("GPConstrainedEIChooser", str(tmp_path), args)
+    grid, values, candidates, complete = _constrained_problem(rng)
+    chooser.next(grid, values, np.full(40, np.nan), candidates, [], complete)
+
+    state_path = os.path.join(str(tmp_path), "GPConstrainedEIChooser_state.npz")
+    with np.load(state_path) as z:
+        assert "c_ls" in z and "c_amp2" in z and "c_ff" in z
+        c_amp2 = z["c_amp2"].copy()
+        c_ff = z["c_ff"].copy()
+        c_ls = z["c_ls"].copy()
+    # amp2 sampled: chains moved off the 1.0 init (burn-in + sweeps)
+    assert c_amp2.shape == (3,)
+    assert np.any(np.abs(c_amp2 - 1.0) > 1e-3), c_amp2
+    # latents moved off zero for real observations
+    assert np.any(np.abs(c_ff[:, :12]) > 1e-3)
+
+    # restart: a fresh chooser resumes the latent chains, not zeros
+    chooser2 = get_chooser("GPConstrainedEIChooser", str(tmp_path), args)
+    chooser2._load_state(2)
+    assert chooser2._constraint is not None
+    assert chooser2._burned_in
+    np.testing.assert_array_equal(np.asarray(chooser2._constraint.ff), c_ff)
+    np.testing.assert_array_equal(np.asarray(chooser2._constraint.amp2),
+                                  c_amp2)
+    np.testing.assert_array_equal(np.asarray(chooser2._constraint.ls), c_ls)
+    # and the resumed chooser keeps suggesting (state advances, no re-burn)
+    out = chooser2.next(grid, values, np.full(40, np.nan), candidates, [],
+                        complete)
+    assert isinstance(out, (int, tuple))
+    with np.load(state_path) as z2:
+        assert not np.array_equal(z2["c_ff"], c_ff)  # chains advanced

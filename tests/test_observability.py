@@ -87,3 +87,36 @@ def test_sparkline_shapes():
     s = sparkline([0, 1, 2, 3], width=4)
     assert len(s) == 4 and s[0] == "▁" and s[-1] == "█"
     assert len(sparkline(list(range(100)), width=10)) == 10
+
+
+def test_all_gp_choosers_emit_suggest_events(tmp_path):
+    """The north-star metric (suggestion latency) must be visible for all
+    three GP choosers, not just the flagship."""
+    from spearmint_tpu.choosers import get_chooser
+
+    rng = np.random.RandomState(0)
+    args = "mcmc_iters=2,chains=2,burnin=5,grid_subset=2,lbfgs_iters=5"
+    grid = rng.rand(30, 2)
+    complete = np.arange(8)
+    candidates = np.arange(8, 30)
+    durs = np.full(30, np.nan)
+    durs[complete] = 1.0 + grid[complete, 0]
+
+    for name in ("GPEIOptChooser", "GPEIperSecChooser",
+                 "GPConstrainedEIChooser"):
+        expt = str(tmp_path / name)
+        import os
+        os.makedirs(expt, exist_ok=True)
+        values = np.full(30, np.nan)
+        values[complete] = rng.randn(8)
+        if name == "GPConstrainedEIChooser":
+            values[complete[:2]] = np.nan  # some violations
+        chooser = get_chooser(name, expt, args)
+        chooser.next(grid, values, durs, candidates, [], complete)
+        events = EventLog(expt).read()
+        suggests = [e for e in events if e["kind"] == "suggest"]
+        assert suggests, f"{name} emitted no suggest event"
+        ev = suggests[-1]
+        assert ev["chooser"] == name
+        assert ev["latency_s"] > 0
+        assert ev["n_obs"] > 0 and ev["n_cand"] == 22

@@ -48,7 +48,7 @@ def test_per_sec_chooser_protocol(tmp_path):
     rng = np.random.RandomState(1)
     chooser = get_chooser(
         "GPEIperSecChooser", str(tmp_path),
-        "mcmc_iters=2,chains=3,grid_subset=3,lbfgs_iters=8",
+        "mcmc_iters=2,chains=3,burnin=10,grid_subset=3,lbfgs_iters=8",
     )
     grid = rng.rand(40, 2)
     values = np.full(40, np.nan)
