@@ -41,7 +41,7 @@ def make_problem(n, d, cands, seed=0):
 
 def time_tpu(n, d, chains, cands, reps, lbfgs_iters=20, grid_subset=10,
              n_pending=0, n_fantasies=10, kernel_name="Matern52",
-             explicit_inverse=True):
+             explicit_inverse=True, chain_chunk=0, obs_shard=False):
     import jax
     import jax.numpy as jnp
 
@@ -67,12 +67,28 @@ def time_tpu(n, d, chains, cands, reps, lbfgs_iters=20, grid_subset=10,
                         lbfgs_iters=lbfgs_iters,
                         has_pending=n_pending > 0, n_fantasies=n_fantasies,
                         kernel_name=kernel_name,
-                        explicit_inverse=explicit_inverse)
+                        explicit_inverse=explicit_inverse,
+                        chain_chunk=chain_chunk)
 
     key = jax.random.PRNGKey(0)
 
-    def run(k, h):
-        return suggest_step(k, h, xj, yj, mj, pend, pend_mask, cj, cm, cfg)
+    if obs_shard:
+        # Production large-n path: the n×n working set sharded over an
+        # obs mesh of ALL available devices (degenerates to 1-way on a
+        # single chip — same code path BASELINE config 5 runs on a pod).
+        from spearmint_tpu.engine import obs_shard as obs_mod
+
+        mesh = obs_mod.make_obs_mesh()
+        ndev = mesh.devices.size
+        assert pad % ndev == 0, (pad, ndev)
+        obs_fn = obs_mod.sharded_suggest_obs(mesh, cfg)
+
+        def run(k, h):
+            return obs_fn(k, h, xj, yj, mj, cj, cm)
+    else:
+        def run(k, h):
+            return suggest_step(k, h, xj, yj, mj, pend, pend_mask, cj, cm,
+                                cfg)
 
     def force(res):
         # On the experimental remote-TPU platform block_until_ready can
@@ -155,25 +171,118 @@ def time_baseline(n, d, cands, mcmc_iters=10):
     }
 
 
-# The five BASELINE.json benchmark configs (single-chip scalings of the
+def time_tpu_per_sec(n, d, chains, cands, reps, lbfgs_iters=10,
+                     grid_subset=5):
+    """Dual-GP EI/sec suggestion latency (BASELINE config 3)."""
+    import jax
+    import jax.numpy as jnp
+
+    from spearmint_tpu.core.linalg import pad_bucket
+    from spearmint_tpu.engine.per_sec import suggest_step_per_sec
+    from spearmint_tpu.engine.suggest import SuggestConfig, init_chain_states
+
+    x, y, cand = make_problem(n, d, cands)
+    rng = np.random.RandomState(5)
+    log_durs = (2.0 * x[:, 0] + 0.1 * rng.randn(n)).astype(np.float32)
+    pad = pad_bucket(n)
+    xp = np.zeros((pad, d), np.float32); xp[:n] = x
+    yp = np.zeros(pad, np.float32); yp[:n] = y
+    tp = np.zeros(pad, np.float32); tp[:n] = log_durs
+    mask = np.arange(pad) < n
+    xj, yj, tj, mj = (jnp.array(xp), jnp.array(yp), jnp.array(tp),
+                      jnp.array(mask))
+    h = init_chain_states(yj, mj, d, chains)
+    t = init_chain_states(tj, mj, d, chains)
+    cj = jnp.array(cand, jnp.float32)
+    cm = jnp.ones(cands, bool)
+    cfg = SuggestConfig(mcmc_iters=1, grid_subset=grid_subset,
+                        lbfgs_iters=lbfgs_iters)
+    key = jax.random.PRNGKey(0)
+    pend = jnp.zeros((4, d), jnp.float32)
+    pend_mask = jnp.zeros(4, bool)
+
+    def run(k, h, t):
+        return suggest_step_per_sec(k, h, t, xj, yj, tj, mj, pend,
+                                    pend_mask, cj, cm, cfg)
+
+    def force(res):
+        return float(np.asarray(res.ei_per_s).sum())
+
+    res = run(key, h, t)
+    force(res)
+    h, t = res.hypers, res.time_hypers
+    times = []
+    for _ in range(reps):
+        key, k = jax.random.split(key)
+        t0 = time.perf_counter()
+        res = run(k, h, t)
+        force(res)
+        times.append(time.perf_counter() - t0)
+        h, t = res.hypers, res.time_hypers
+    return float(np.median(times))
+
+
+# The BASELINE.json benchmark configs (single-chip scalings of the
 # pod-scale targets; chains shard over a mesh for the full versions).
+# `flagship` (the default run, n=5000) is config 1's n=5k operating
+# point; `per_sec` is config 3; `sweep1m` runs config 5's 1M-candidate
+# EI sweep at a chip-feasible n (the full 10k×1M point is pod-scale:
+# O(n²C) ≈ 2e14 FLOPs per posterior sample).
 PRESETS = {
     # Branin parity: small-n regime, the canonical smoke test
     "branin": dict(n=30, d=2, chains=10, cands=2000),
     # Hartmann-6: 20 chains, 2k EI candidates
     "hartmann": dict(n=500, d=6, chains=20, cands=2048),
+    # EI-per-second dual-GP chooser
+    "per_sec": dict(n=1000, d=2, chains=10, cands=2048, _fn="per_sec"),
     # async: 64 pending fantasized (F=100 draws/sample)
     "async": dict(n=1000, d=2, chains=10, cands=2048, n_pending=64,
                   n_fantasies=100),
-    # large-n: 10k observations (single-chip slice of the pod config);
-    # no materialized L^-1 — the extra [S, 12288, 12288] buffer doesn't
-    # pay at this memory pressure
-    "large": dict(n=10000, d=2, chains=4, cands=8192,
-                  explicit_inverse=False),
+    # large-n: 10k observations through the PRODUCTION obs-sharded path
+    # (engine/obs_shard.sharded_suggest_obs over all devices; 1-way on a
+    # single chip).  chain_chunk bounds the MCMC phase's [K, N, N] temps.
+    "large": dict(n=10000, d=2, chains=4, cands=8192, chain_chunk=1,
+                  obs_shard=True),
+    # the 1M-candidate EI sweep (config 5's candidate axis, single chip)
+    "sweep1m": dict(n=1000, d=2, chains=10, cands=1_000_000,
+                    grid_subset=5, lbfgs_iters=10),
     # pallas kernel path
     "pallas": dict(n=5000, d=2, chains=10, cands=2048,
                    kernel_name="Matern52Pallas"),
 }
+
+# presets whose CPU-golden baseline is feasible to measure in-run
+_BASELINE_OK = {"branin", "hartmann", "pallas", "large", None}
+
+
+def run_config(preset, n, d, chains, cands, reps, extra, skip_baseline):
+    """Time one config; returns the result record (one JSON line)."""
+    extra = dict(extra)
+    fn_kind = extra.pop("_fn", "suggest")
+    if fn_kind == "per_sec":
+        tpu_latency = time_tpu_per_sec(n, d, chains, cands, reps, **extra)
+    else:
+        tpu_latency = time_tpu(n, d, chains, cands, reps, **extra)
+
+    if skip_baseline or preset not in _BASELINE_OK:
+        baseline, detail, vs = float("nan"), {}, float("nan")
+    else:
+        baseline, detail = time_baseline(n, d, cands)
+        vs = baseline / tpu_latency
+
+    name = preset or f"n{n}_chains{chains}_cands{cands}"
+    rec = {
+        "metric": f"suggestion_latency_{name}",
+        "value": round(tpu_latency, 4),
+        "unit": "s",
+        "vs_baseline": round(vs, 2) if vs == vs else None,
+        "sweeps_per_s": round(chains / tpu_latency, 2),
+        "ei_evals_per_s_chip": float(f"{chains * cands / tpu_latency:.3g}"),
+    }
+    print(json.dumps(rec), flush=True)
+    print(f"# {name}: baseline={baseline:.2f}s detail={detail}",
+          file=sys.stderr)
+    return rec
 
 
 def main(argv=None):
@@ -184,12 +293,41 @@ def main(argv=None):
     p.add_argument("--cands", type=int, default=2000)
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--preset", choices=sorted(PRESETS), default=None)
+    p.add_argument("--all", action="store_true",
+                   help="run every BASELINE config; one JSON line each, "
+                        "results also written to benchmarks/results.json")
     p.add_argument("--quick", action="store_true",
                    help="small shapes for smoke testing")
     p.add_argument("--skip-baseline", action="store_true")
     p.add_argument("--no-explicit-inverse", action="store_true",
                    help="triangular solves instead of materialized L^-1")
     args = p.parse_args(argv)
+
+    if args.all:
+        records = []
+        # flagship (the default single-line metric) first
+        records.append(run_config(None, args.n, args.d, args.chains,
+                                  args.cands, args.reps, {},
+                                  args.skip_baseline))
+        for preset, cfg in PRESETS.items():
+            cfg = dict(cfg)
+            n, d = cfg.pop("n"), cfg.pop("d")
+            chains, cands = cfg.pop("chains"), cfg.pop("cands")
+            if args.quick:
+                n, cands = min(n, 256), min(cands, 256)
+            try:
+                records.append(run_config(preset, n, d, chains, cands,
+                                           args.reps, cfg,
+                                           args.skip_baseline))
+            except Exception as e:  # record the failure, keep going
+                print(f"# preset {preset} FAILED: {e}", file=sys.stderr)
+                records.append({"metric": f"suggestion_latency_{preset}",
+                                "error": str(e)})
+        import os
+        os.makedirs("benchmarks", exist_ok=True)
+        with open("benchmarks/results.json", "w") as f:
+            json.dump(records, f, indent=1)
+        return 0
 
     extra = {}
     if args.preset:
@@ -199,32 +337,11 @@ def main(argv=None):
         extra = cfg
     if args.quick:
         args.n, args.cands, args.reps = 256, 256, 2
-
     if args.no_explicit_inverse:
         extra["explicit_inverse"] = False
-    tpu_latency = time_tpu(args.n, args.d, args.chains, args.cands,
-                           args.reps, **extra)
 
-    if args.skip_baseline:
-        baseline, detail = float("nan"), {}
-        vs = float("nan")
-    else:
-        baseline, detail = time_baseline(args.n, args.d, args.cands)
-        vs = baseline / tpu_latency
-
-    name = args.preset or f"n{args.n}_chains{args.chains}_cands{args.cands}"
-    print(json.dumps({
-        "metric": f"suggestion_latency_{name}",
-        "value": round(tpu_latency, 4),
-        "unit": "s",
-        "vs_baseline": round(vs, 2) if vs == vs else None,
-    }), flush=True)
-    # secondary BASELINE metrics (slice-sampling sweeps/s, EI evals/s/chip)
-    sweeps_per_s = args.chains / tpu_latency
-    ei_evals_per_s = args.chains * args.cands / tpu_latency
-    print(f"# baseline={baseline:.2f}s sweeps/s={sweeps_per_s:.1f} "
-          f"ei_evals/s={ei_evals_per_s:.3g} detail={detail}",
-          file=sys.stderr)
+    run_config(args.preset, args.n, args.d, args.chains, args.cands,
+               args.reps, extra, args.skip_baseline)
     return 0
 
 

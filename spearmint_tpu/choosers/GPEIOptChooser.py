@@ -47,6 +47,12 @@ class GPEIOptChooser:
         max_obs_pad=None,
         seed=0,
         profile_dir="",
+        obs_shard_min=8192,    # pad size from which the n×n working set
+                               # shards over an `obs` device mesh
+                               # (engine/obs_shard); 0 disables
+        chain_chunk=-1,        # -1: auto memory policy (see next());
+                               # 0: plain vmap; >0: explicit group size
+        explicit_inverse=-1,   # -1: auto (off at large pad); 0/1 force
     ):
         self.expt_dir = expt_dir
         self.covar = str(covar)
@@ -58,6 +64,10 @@ class GPEIOptChooser:
         self.chains = int(chains)
         self.lbfgs_iters = int(lbfgs_iters)
         self.max_obs_pad = max_obs_pad
+        self.obs_shard_min = int(obs_shard_min)
+        self.chain_chunk = int(chain_chunk)
+        self.explicit_inverse = int(explicit_inverse)
+        self._obs_suggest = None  # (cfg, ndev, fn) compile cache
         self.seed = int(seed)
         self.optimize = True  # GPEIChooser subclass flips this off
         self.profile_dir = str(profile_dir)  # jax.profiler traces per call
@@ -130,6 +140,45 @@ class GPEIOptChooser:
         return jax.jit(jax.vmap(burn_chain))(
             jax.random.split(key, self.chains), hypers
         )
+
+    def _memory_policy(self, pad):
+        """Resolve (chain_chunk, explicit_inverse) for this bucket size.
+
+        Auto mode bounds the live per-sweep HBM at ~2.5 GB of
+        [chunk, pad, pad] f32 cov/chol temps — past ~8k observations a
+        plain chains-vmap holds chains·pad²·4B at once and hits the HBM
+        cliff (SURVEY.md §5.7a); chunking trades it for sequential chain
+        groups.  L⁻¹ materialization stops paying at the same scale (an
+        extra [S, pad, pad] buffer), so auto turns it off there too.
+        """
+        chunk = self.chain_chunk
+        if chunk < 0:
+            per_chain = 4.0 * pad * pad
+            c = int(min(self.chains, max(1, 2.5e9 // per_chain)))
+            if c >= self.chains:
+                chunk = 0
+            else:
+                while self.chains % c:
+                    c -= 1
+                chunk = c
+        inv = self.explicit_inverse
+        if inv < 0:
+            inv = pad < 8192
+        return chunk, bool(inv)
+
+    def _obs_suggest_fn(self, cfg):
+        """Compile-cached obs-sharded suggestion (engine/obs_shard)."""
+        import jax
+
+        from spearmint_tpu.engine import obs_shard
+
+        ndev = len(jax.devices())
+        if self._obs_suggest and self._obs_suggest[0] == (cfg, ndev):
+            return self._obs_suggest[1]
+        mesh = obs_shard.make_obs_mesh()
+        fn = obs_shard.sharded_suggest_obs(mesh, cfg)
+        self._obs_suggest = ((cfg, ndev), fn)
+        return fn
 
     def _emit_suggest(self, latency, n_obs, n_pending, n_cand, **extra):
         """North-star observability: every GP chooser logs its suggestion
@@ -212,6 +261,15 @@ class GPEIOptChooser:
         # SUGGESTION (its one chain loops that many times).  Spread the
         # same budget across parallel chains: iters/chain = ceil share.
         iters_per_chain = max(1, -(-self.mcmc_iters // self.chains))
+        chain_chunk, explicit_inv = self._memory_policy(pad)
+        ndev = len(jax.devices())
+        # Large-n production path: shard the n×n working set over an
+        # `obs` device mesh (BASELINE config 5) once a single device's
+        # chains-vmap regime stops making sense.  Pending jobs fall back
+        # to the chains-mesh path (fantasization lives there).
+        use_obs = (self.obs_shard_min > 0 and ndev > 1
+                   and pad >= self.obs_shard_min and pad % ndev == 0
+                   and p == 0)
         cfg = SuggestConfig(
             mcmc_iters=iters_per_chain,
             noiseless=self.noiseless,
@@ -221,6 +279,8 @@ class GPEIOptChooser:
             optimize=self.optimize,
             has_pending=p > 0,
             n_fantasies=self.pending_samples,
+            chain_chunk=chain_chunk,
+            explicit_inverse=explicit_inv,
         )
         import contextlib
         import time as _time
@@ -230,11 +290,17 @@ class GPEIOptChooser:
                  if self.profile_dir else contextlib.nullcontext())
         t0 = _time.perf_counter()
         with trace:
-            res = suggest_step(
-                ks, self._hypers, xj, yj, mj,
-                jnp.array(pend_p), jnp.array(pend_mask),
-                jnp.array(cand_p), jnp.array(cand_mask), cfg,
-            )
+            if use_obs:
+                res = self._obs_suggest_fn(cfg)(
+                    ks, self._hypers, xj, yj, mj,
+                    jnp.array(cand_p), jnp.array(cand_mask),
+                )
+            else:
+                res = suggest_step(
+                    ks, self._hypers, xj, yj, mj,
+                    jnp.array(pend_p), jnp.array(pend_mask),
+                    jnp.array(cand_p), jnp.array(cand_mask), cfg,
+                )
             jax.block_until_ready(res.ei)
         latency = _time.perf_counter() - t0
         self._hypers = res.hypers
@@ -245,6 +311,7 @@ class GPEIOptChooser:
             ei_best=float(res.best_cand_ei), ei_opt=float(res.ei_opt),
             amp2_med=float(np.median(np.asarray(res.hypers.amp2))),
             noise_med=float(np.median(np.asarray(res.hypers.noise))),
+            mode="obs_shard" if use_obs else "chains",
         )
 
         best_cand_local = int(res.best_cand)

@@ -313,3 +313,125 @@ def sharded_posterior(mesh: Mesh, kernel: Callable = matern52):
         check_vma=False,
     )
     return jax.jit(mapped)
+
+
+# ------------------------------------------------- full suggestion step
+def sharded_suggest_obs(mesh: Mesh, config):
+    """The PRODUCTION large-n suggestion: a full fully-Bayesian GP-EI
+    step whose n×n working set only ever exists as obs-sharded column
+    slabs (BASELINE config 5: 10k obs, chains, large EI candidate sets).
+
+    Same semantics as ``engine.suggest.suggest_step`` with two
+    intentional differences for this regime:
+
+      * no pending fantasization (the chooser falls back to the
+        chains-mesh path when jobs are pending — at 10k+ observations
+        the posterior is dominated by data, and the augmented (n+p)²
+        factorization would shard identically anyway);
+      * no L-BFGS off-grid refinement — the large-C candidate sweep IS
+        the optimizer here (grid density at 10⁵–10⁶ candidates puts the
+        argmax within quantization distance of the EI optimum, and the
+        reference's 20-start refinement exists to compensate for its
+        20k-point grids).  ``x_opt``/``ei_opt`` return the grid argmax.
+
+    Layout inside one ``shard_map`` over the 1-D ``obs`` mesh:
+    chain states replicated and vmapped (each slice-sampling likelihood
+    eval distributes its Cholesky over the mesh via the colblock
+    primitives); the EI phase runs samples sequentially (``lax.map``),
+    each building one sharded factorization and sweeping the candidate
+    set in chunks through pipelined distributed triangular solves.
+
+    Returns a callable (key, hypers[chains], x, y, mask, cand,
+    cand_mask) → engine.suggest.SuggestResult.
+    """
+    from spearmint_tpu.core.likelihood import GPHypers, JITTER
+    from spearmint_tpu.engine.suggest import (
+        SuggestResult,
+        _chunked_vmap,
+        _flatten_samples,
+    )
+    from spearmint_tpu.mcmc.chains import sample_hypers
+
+    kernel = config.kernel
+    mcfg = config.mcmc._replace(
+        marginal=functools.partial(_marginal_colblock))
+    iters = config.mcmc_iters
+    cand_chunk = 4096
+
+    def body(key, mean, amp2, noise, ls, x, y, mask, cand, cand_mask):
+        hypers = GPHypers(mean, amp2, noise, ls)
+        chains = mean.shape[0]
+        s = chains * iters
+        # Same key discipline as suggest_step (split off the unused
+        # fantasy key) so both paths draw identical chain randomness.
+        k_chains, _ = jax.random.split(key)
+
+        def chain_fn(k, h0):
+            ks = jax.random.split(k, iters)
+
+            def bd(h, kk):
+                h2 = sample_hypers(kk, h, x, y, mask, mcfg)
+                return h2, h2
+
+            return lax.scan(bd, h0, ks)
+
+        h_last, samples = _chunked_vmap(chain_fn, config.chain_chunk)(
+            jax.random.split(k_chains, chains), hypers)
+        flat = _flatten_samples(samples, s)
+
+        c = cand.shape[0]
+        chunk = min(cand_chunk, c)
+        n_chunks = -(-c // chunk)
+        padded = n_chunks * chunk
+        cand_p = cand
+        if padded != c:
+            cand_p = jnp.concatenate(
+                [cand, jnp.broadcast_to(cand[:1],
+                                        (padded - c, cand.shape[1]))], 0)
+        chunks = cand_p.reshape(n_chunks, chunk, cand.shape[1])
+
+        def per_sample_ei(h):
+            a_col = cov_colblock(x, mask, h.amp2, h.noise, h.ls, kernel)
+            l_col = cholesky_colblock(a_col)
+            resid = jnp.where(mask, y - h.mean, 0.0)
+            alpha = _backsolve(l_col, solve_colblock(l_col, resid))
+            best = jnp.min(jnp.where(mask, y, jnp.inf))
+
+            def ei_chunk(cc):
+                kx = h.amp2 * kernel(x, cc, h.ls) * mask[:, None]
+                mu = h.mean + kx.T @ alpha
+                beta = solve_colblock(l_col, kx)
+                var = h.amp2 * (1.0 + JITTER) - jnp.sum(beta * beta, 0)
+                sigma = jnp.sqrt(jnp.maximum(var, 1e-14))
+                u = (best - mu) / sigma
+                return sigma * (u * jax.scipy.stats.norm.cdf(u)
+                                + jax.scipy.stats.norm.pdf(u))
+
+            return lax.map(ei_chunk, chunks).reshape(padded)[:c]
+
+        ei_samples = lax.map(per_sample_ei, flat)        # [S, C]
+        ei_mean = jnp.mean(ei_samples, axis=0)
+        ei_masked = jnp.where(cand_mask, ei_mean, -jnp.inf)
+        best_cand = jnp.argmax(ei_masked)
+        best_ei = ei_masked[best_cand]
+        return (h_last.mean, h_last.amp2, h_last.noise, h_last.ls,
+                flat.mean, flat.amp2, flat.noise, flat.ls,
+                ei_mean, best_cand, best_ei, cand[best_cand])
+
+    rep = P()
+    mapped = jax.shard_map(
+        body, mesh=mesh, in_specs=(rep,) * 10, out_specs=(rep,) * 12,
+        check_vma=False,
+    )
+    jitted = jax.jit(mapped)
+
+    def wrapped(key, hypers: GPHypers, x, y, mask, cand, cand_mask):
+        out = jitted(key, hypers.mean, hypers.amp2, hypers.noise,
+                     hypers.ls, x, y, mask, cand, cand_mask)
+        return SuggestResult(
+            hypers=GPHypers(*out[0:4]), samples=GPHypers(*out[4:8]),
+            ei=out[8], best_cand=out[9], best_cand_ei=out[10],
+            x_opt=out[11], ei_opt=out[10],
+        )
+
+    return wrapped

@@ -138,3 +138,68 @@ def test_sharded_slice_sweep_matches_single_device(mesh, problem):
             rtol=1e-3, err_msg=name)
     np.testing.assert_allclose(np.asarray(got.ls), np.asarray(want.ls),
                                rtol=1e-3)
+
+
+def test_sharded_suggest_obs_matches_single_device(mesh, problem):
+    """The full obs-sharded suggestion (MCMC sweeps + EI sweep + argmax)
+    must reproduce the single-device suggest_step: same key → identical
+    chain randomness, so hypers match exactly and EI to f32 accuracy."""
+    from spearmint_tpu.engine.suggest import (
+        SuggestConfig,
+        init_chain_states,
+        suggest_step,
+    )
+
+    x, y, mask = problem
+    rng = np.random.RandomState(5)
+    cand = jnp.array(rng.rand(100, x.shape[1]), jnp.float32)
+    cand_mask = jnp.ones(100, bool)
+    hypers = init_chain_states(y, mask, x.shape[1], chains=4)
+    cfg = SuggestConfig(mcmc_iters=2, optimize=False)
+    key = jax.random.PRNGKey(7)
+
+    fn = obs_shard.sharded_suggest_obs(mesh, cfg)
+    got = fn(key, hypers, x, y, mask, cand, cand_mask)
+    want = suggest_step(
+        key, hypers, x, y, mask,
+        jnp.zeros((4, x.shape[1]), jnp.float32), jnp.zeros(4, bool),
+        cand, cand_mask, cfg)
+
+    assert int(got.best_cand) == int(want.best_cand)
+    np.testing.assert_allclose(np.asarray(got.ei), np.asarray(want.ei),
+                               rtol=2e-3, atol=1e-6)
+    for name in ("mean", "amp2", "noise", "ls"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got.hypers, name)),
+            np.asarray(getattr(want.hypers, name)), rtol=1e-3,
+            err_msg=name)
+
+
+def test_chooser_uses_obs_shard_path(tmp_path):
+    """With obs_shard_min lowered, the flagship chooser routes through
+    the obs mesh and reports it in the suggest event."""
+    from spearmint_tpu.choosers import get_chooser
+    from spearmint_tpu.utils.events import EventLog
+
+    rng = np.random.RandomState(0)
+    chooser = get_chooser(
+        "GPEIOptChooser", str(tmp_path),
+        "mcmc_iters=2,chains=2,burnin=5,obs_shard_min=32",
+    )
+    grid = rng.rand(80, 2)
+    values = np.full(80, np.nan)
+    complete = np.arange(30)   # pad_bucket(30)=32, divisible by 8 devices
+    values[complete] = np.sin(3 * grid[complete, 0])
+    candidates = np.arange(30, 80)
+    out = chooser.next(grid, values, np.full(80, np.nan), candidates, [],
+                       complete)
+    assert isinstance(out, int) and out in candidates
+    ev = [e for e in EventLog(str(tmp_path)).read()
+          if e["kind"] == "suggest"][-1]
+    assert ev["mode"] == "obs_shard"
+    # pending jobs fall back to the chains path
+    out2 = chooser.next(grid, values, np.full(80, np.nan),
+                        candidates[1:], [int(candidates[0])], complete)
+    ev2 = [e for e in EventLog(str(tmp_path)).read()
+           if e["kind"] == "suggest"][-1]
+    assert ev2["mode"] == "chains"
