@@ -164,10 +164,16 @@ def time_baseline(n, d, cands, mcmc_iters=10):
         ei_times.append(time.perf_counter() - t0)
     ei_time = min(ei_times)
 
+    # The calibrated denominator is load-sensitive (observed 2.4–9.6 ks
+    # across round-1 runs); report [min-rep, max-rep] extrapolations so
+    # the speedup is honest about that spread rather than a point claim.
+    lo = mcmc_iters * (evals_per_sweep * min(eval_times) + min(ei_times))
+    hi = mcmc_iters * (evals_per_sweep * max(eval_times) + max(ei_times))
     return mcmc_iters * (evals_per_sweep * per_eval + ei_time), {
         "evals_per_sweep": evals_per_sweep,
         "per_eval_s": per_eval,
         "ei_sweep_s": ei_time,
+        "range_s": (lo, hi),
     }
 
 
@@ -279,6 +285,10 @@ def run_config(preset, n, d, chains, cands, reps, extra, skip_baseline):
         "sweeps_per_s": round(chains / tpu_latency, 2),
         "ei_evals_per_s_chip": float(f"{chains * cands / tpu_latency:.3g}"),
     }
+    if detail.get("range_s"):
+        lo, hi = detail["range_s"]
+        rec["vs_baseline_range"] = [round(lo / tpu_latency, 2),
+                                    round(hi / tpu_latency, 2)]
     print(json.dumps(rec), flush=True)
     print(f"# {name}: baseline={baseline:.2f}s detail={detail}",
           file=sys.stderr)

@@ -1,0 +1,233 @@
+#!/usr/bin/env python
+"""Phase-level wall-clock breakdown of the flagship suggestion (n=5k).
+
+VERDICT.md round-1 weak #3: "Nobody has profiled where the 5.4 s actually
+goes; do that before round 2 optimization."  This script times each phase
+of engine/suggest.suggest_step as its own jitted program on the real
+device, plus the micro-ops underneath (batched Cholesky, kernel assembly,
+triangular solves, eigh) so optimization choices are grounded in numbers.
+
+Writes docs/PROFILE_r2.md-ready lines to stdout.
+"""
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spearmint_tpu.core import linalg
+from spearmint_tpu.core.kernels import matern52
+from spearmint_tpu.core.likelihood import GPHypers, cov_matrix, log_marginal
+from spearmint_tpu.engine.suggest import (
+    SuggestConfig, init_chain_states, suggest_step,
+)
+from spearmint_tpu.mcmc.chains import MCMCConfig, sample_hypers
+from spearmint_tpu.acquire import ei as ei_mod
+from spearmint_tpu.acquire.optimize import minimize_lbfgs_b
+
+N, D, CHAINS, CANDS = 5000, 2, 10, 2000
+GRID_SUBSET, LBFGS_ITERS = 10, 20
+
+
+def make_problem(n, d, cands, seed=0):
+    rng = np.random.RandomState(seed)
+    x = rng.rand(n, d)
+    y = np.sin(3 * x[:, 0]) * np.cos(2 * x[:, 1] if d > 1 else 1.0)
+    y = y + 0.05 * rng.randn(n)
+    cand = rng.rand(cands, d)
+    return x, y - y.mean(), cand
+
+
+def bench(fn, *args, reps=3, warmup=1):
+    for _ in range(warmup):
+        out = fn(*args)
+        jax.block_until_ready(out)
+        # force a host transfer of a value depending on the whole output
+        np.asarray(jax.tree.leaves(out)[0]).sum()
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        np.asarray(jax.tree.leaves(out)[0]).sum()
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def main():
+    print(f"# devices: {jax.devices()}")
+    x, y, cand = make_problem(N, D, CANDS)
+    pad = linalg.pad_bucket(N)
+    xp = np.zeros((pad, D), np.float32); xp[:N] = x
+    yp = np.zeros(pad, np.float32); yp[:N] = y
+    mask = np.arange(pad) < N
+    xj, yj, mj = jnp.array(xp), jnp.array(yp), jnp.array(mask)
+    hypers = init_chain_states(yj, mj, D, CHAINS)
+    cj = jnp.array(cand, jnp.float32)
+    cm = jnp.ones(CANDS, bool)
+    pend = jnp.zeros((4, D), jnp.float32)
+    pend_mask = jnp.zeros(4, bool)
+    cfg = SuggestConfig(mcmc_iters=1, grid_subset=GRID_SUBSET,
+                        lbfgs_iters=LBFGS_ITERS)
+    key = jax.random.PRNGKey(0)
+    kernel = cfg.kernel
+    mcfg = cfg.mcmc
+
+    # ---------------- full flagship -------------------------------------
+    t_full = bench(
+        lambda k: suggest_step(k, hypers, xj, yj, mj, pend, pend_mask,
+                               cj, cm, cfg), key)
+    print(f"full_suggest_s {t_full:.4f}")
+
+    # ---------------- phase 1: MCMC sweep alone -------------------------
+    @jax.jit
+    def mcmc_only(k, h):
+        ks = jax.random.split(k, CHAINS)
+        return jax.vmap(lambda kk, hh: sample_hypers(kk, hh, xj, yj, mj,
+                                                     mcfg))(ks, h)
+
+    t_mcmc = bench(mcmc_only, key, hypers)
+    print(f"phase_mcmc_sweep_s {t_mcmc:.4f}")
+
+    # joint move only vs ls move only
+    from spearmint_tpu.mcmc.slice import slice_sample
+    from spearmint_tpu.mcmc import chains as chains_mod
+
+    @jax.jit
+    def joint_only(k, h):
+        def one(kk, hh):
+            vec0 = jnp.stack([hh.mean, hh.amp2, hh.noise])
+            lp = lambda v: chains_mod._joint_logprob(v, xj, yj, mj, hh.ls,
+                                                     mcfg)
+            return slice_sample(kk, vec0, lp, compwise=False)
+        return jax.vmap(one)(jax.random.split(k, CHAINS), h)
+
+    @jax.jit
+    def ls_only(k, h):
+        def one(kk, hh):
+            lp = lambda l: chains_mod._ls_logprob(l, xj, yj, mj, hh, mcfg)
+            return slice_sample(kk, hh.ls, lp, compwise=True)
+        return jax.vmap(one)(jax.random.split(k, CHAINS), h)
+
+    t_joint = bench(joint_only, key, hypers)
+    t_ls = bench(ls_only, key, hypers)
+    print(f"phase_joint_move_s {t_joint:.4f}")
+    print(f"phase_ls_move_s {t_ls:.4f}")
+
+    # ---------------- phase 2: posterior caches -------------------------
+    flat = hypers  # [CHAINS] states stand in for S=chains*iters samples
+
+    @jax.jit
+    def caches_only(h):
+        return jax.vmap(
+            lambda hh: ei_mod.make_cache(xj, yj, mj, hh, kernel,
+                                         with_inverse=True))(h)
+
+    @jax.jit
+    def caches_no_inv(h):
+        return jax.vmap(
+            lambda hh: ei_mod.make_cache(xj, yj, mj, hh, kernel,
+                                         with_inverse=False))(h)
+
+    t_cache = bench(caches_only, flat)
+    t_cache_noinv = bench(caches_no_inv, flat)
+    print(f"phase_caches_with_linv_s {t_cache:.4f}")
+    print(f"phase_caches_no_linv_s {t_cache_noinv:.4f}")
+
+    caches = caches_only(flat)
+
+    # ---------------- phase 3: EI grid sweep ----------------------------
+    @jax.jit
+    def ei_sweep(c):
+        return jax.vmap(
+            lambda cc: ei_mod.ei_from_cache_chunked(cc, xj, mj, cj,
+                                                    kernel))(c)
+
+    t_ei = bench(ei_sweep, caches)
+    print(f"phase_ei_grid_sweep_s {t_ei:.4f}")
+
+    # ---------------- phase 4: L-BFGS refinement ------------------------
+    ei_s = ei_sweep(caches)
+    ei_mean = jnp.mean(ei_s, axis=0)
+
+    @jax.jit
+    def lbfgs_only(c, em):
+        _, top_idx = jax.lax.top_k(em, GRID_SUBSET)
+        starts = cj[top_idx]
+
+        def neg_avg_ei(pt):
+            eis = jax.vmap(
+                lambda cc: ei_mod.ei_from_cache(cc, xj, mj, pt[None],
+                                                kernel)[..., 0])(c)
+            return -jnp.mean(eis)
+
+        return minimize_lbfgs_b(neg_avg_ei, starts,
+                                jnp.zeros(D, jnp.float32),
+                                jnp.ones(D, jnp.float32),
+                                iters=LBFGS_ITERS)
+
+    t_lbfgs = bench(lbfgs_only, caches, ei_mean)
+    print(f"phase_lbfgs_s {t_lbfgs:.4f}")
+
+    print(f"phase_sum_s {t_mcmc + t_cache + t_ei + t_lbfgs:.4f}")
+
+    # ---------------- micro-ops -----------------------------------------
+    h1 = GPHypers(mean=jnp.float32(0.0), amp2=jnp.float32(1.0),
+                  noise=jnp.float32(1e-3), ls=jnp.ones(D, jnp.float32))
+
+    @jax.jit
+    def assemble(ls_batch):
+        return jax.vmap(
+            lambda l: cov_matrix(xj, mj, 1.0, 1e-3, l, matern52))(ls_batch)
+
+    ls_b = jnp.ones((CHAINS, D), jnp.float32)
+    t_asm = bench(assemble, ls_b)
+    print(f"micro_assemble10_s {t_asm:.4f}")
+
+    ks = assemble(ls_b)
+
+    chol_j = jax.jit(jnp.linalg.cholesky)
+    t_chol = bench(chol_j, ks)
+    flops = CHAINS * pad**3 / 3
+    print(f"micro_chol10_s {t_chol:.4f}  ({flops/t_chol/1e12:.1f} TF/s)")
+
+    chols = chol_j(ks)
+
+    @jax.jit
+    def solve1(c):
+        b = jnp.broadcast_to(yj, (CHAINS, pad))
+        return jax.vmap(linalg.chol_solve)(c, b)
+
+    t_solve = bench(solve1, chols)
+    print(f"micro_cholsolve10_1rhs_s {t_solve:.4f}")
+
+    @jax.jit
+    def logprob_eval(h):
+        return jax.vmap(
+            lambda hh: log_marginal(xj, yj, mj, hh, matern52))(h)
+
+    t_lp = bench(logprob_eval, flat)
+    print(f"micro_logprob10_s {t_lp:.4f}")
+
+    @jax.jit
+    def tri_inv(c):
+        return jax.vmap(linalg.tri_inverse)(c)
+
+    t_ti = bench(tri_inv, chols)
+    print(f"micro_tri_inverse10_s {t_ti:.4f}")
+
+    eigh_j = jax.jit(lambda k: jnp.linalg.eigh(k))
+    t_eigh = bench(eigh_j, ks, reps=2)
+    print(f"micro_eigh10_s {t_eigh:.4f}")
+
+    # eval-count instrumentation: how many logprob evals does one sweep
+    # actually serialize (lockstep max across the vmapped chains)?
+    from spearmint_tpu.mcmc import slice as slice_mod
+    print("# eval counts (host, small-n CPU-free estimate skipped; "
+          "see docs)")
+
+
+if __name__ == "__main__":
+    main()

@@ -67,6 +67,9 @@ class SuggestConfig(NamedTuple):
                                    # evals) is a GEMM, not a sequential
                                    # trisolve; costs one extra [S, N, N]
                                    # buffer + one triangular inversion
+    joint_eig: bool = False        # spectral cache for the joint slice
+                                   # move: one eigh per move, O(n) per
+                                   # evaluation (core/eigen.py)
 
     @property
     def kernel(self):
@@ -75,7 +78,8 @@ class SuggestConfig(NamedTuple):
     @property
     def mcmc(self) -> MCMCConfig:
         return MCMCConfig(
-            noiseless=self.noiseless, max_ls=self.max_ls, kernel=self.kernel
+            noiseless=self.noiseless, max_ls=self.max_ls,
+            kernel=self.kernel, joint_eig=self.joint_eig,
         )
 
 

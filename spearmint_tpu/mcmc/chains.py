@@ -41,6 +41,12 @@ class MCMCConfig(NamedTuple):
     # observation-sharded version (same (x, y, mask, hypers, kernel)
     # signature) so the whole slice-sampling sweep runs distributed.
     marginal: Callable = log_marginal
+    # Joint-move spectral cache: the (mean, amp2, noise) move holds ls
+    # fixed, so one eigh of k(X,X)+jitter·I replaces the per-evaluation
+    # O(n³) Cholesky with an O(n) spectral formula (core/eigen.py).
+    # Only valid with the dense local `marginal` (the obs-sharded path
+    # keeps its distributed Cholesky).
+    joint_eig: bool = False
 
 
 def init_hypers(y: jnp.ndarray, mask: jnp.ndarray, ndim: int) -> GPHypers:
@@ -78,6 +84,28 @@ def _joint_logprob(vec, x, y, mask, ls, config: MCMCConfig):
     return jnp.where(valid, lp, -jnp.inf)
 
 
+def _joint_logprob_eig(vec, cache, config: MCMCConfig):
+    """O(n) spectral version of ``_joint_logprob`` (same priors/bounds)."""
+    from spearmint_tpu.core.eigen import log_marginal_eig
+
+    mean = vec[0]
+    amp2 = vec[1]
+    noise = vec[2] if not config.noiseless else jnp.asarray(
+        priors.DEFAULT_NOISE, vec.dtype
+    )
+    valid = (
+        priors.mean_in_bounds(mean, cache.y_min, cache.y_max)
+        & (amp2 > 0.0) & (noise > 0.0)
+    )
+    amp2_s = jnp.where(amp2 > 0.0, amp2, 1.0)
+    noise_s = jnp.where(noise > 0.0, noise, 1.0)
+    lp = log_marginal_eig(cache, mean, amp2_s, noise_s)
+    lp = lp + priors.lognormal_amp2_term(amp2_s, config.amp2_scale)
+    if not config.noiseless:
+        lp = lp + priors.horseshoe_logpdf(noise_s, config.noise_scale)
+    return jnp.where(valid, lp, -jnp.inf)
+
+
 def _ls_logprob(ls, x, y, mask, hypers: GPHypers, config: MCMCConfig):
     """Log posterior of ARD length scales under the tophat prior."""
     valid = priors.ls_in_bounds(ls, config.max_ls)
@@ -106,8 +134,16 @@ def sample_hypers(
     else:
         vec0 = jnp.stack([hypers.mean, hypers.amp2, hypers.noise])
 
-    def joint_lp(vec):
-        return _joint_logprob(vec, x, y, mask, hypers.ls, config)
+    if config.joint_eig:
+        from spearmint_tpu.core.eigen import joint_eig_cache
+
+        cache = joint_eig_cache(x, y, mask, hypers.ls, config.kernel)
+
+        def joint_lp(vec):
+            return _joint_logprob_eig(vec, cache, config)
+    else:
+        def joint_lp(vec):
+            return _joint_logprob(vec, x, y, mask, hypers.ls, config)
 
     vec = slice_sample(k_joint, vec0, joint_lp, compwise=False)
     mean, amp2 = vec[0], vec[1]
