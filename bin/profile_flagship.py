@@ -40,18 +40,25 @@ def make_problem(n, d, cands, seed=0):
     return x, y - y.mean(), cand
 
 
+def _force(out):
+    """Force execution: reduce every leaf ON DEVICE, transfer one scalar.
+
+    (block_until_ready can return early on the remote-TPU platform, and
+    transferring a full [S, N, N] output over the tunnel dominates the
+    measurement — a scalar that depends on the whole output does neither.)
+    """
+    leaves = [l for l in jax.tree.leaves(out) if hasattr(l, "dtype")]
+    s = sum(jnp.sum(l).astype(jnp.float32) for l in leaves)
+    return float(np.asarray(s))
+
+
 def bench(fn, *args, reps=3, warmup=1):
     for _ in range(warmup):
-        out = fn(*args)
-        jax.block_until_ready(out)
-        # force a host transfer of a value depending on the whole output
-        np.asarray(jax.tree.leaves(out)[0]).sum()
+        _force(fn(*args))
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        np.asarray(jax.tree.leaves(out)[0]).sum()
+        _force(fn(*args))
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
 
@@ -105,6 +112,27 @@ def main():
         return jax.vmap(one)(jax.random.split(k, CHAINS), h)
 
     @jax.jit
+    def joint_cached(k, h):
+        def one(kk, hh):
+            vec0 = jnp.stack([hh.mean, hh.amp2, hh.noise])
+            m0 = chains_mod.unit_cov(xj, mj, hh.ls, mcfg.kernel)
+            lp = lambda v: chains_mod._joint_logprob_cached(v, m0, yj, mj,
+                                                            mcfg)
+            return slice_sample(kk, vec0, lp, compwise=False)
+        return jax.vmap(one)(jax.random.split(k, CHAINS), h)
+
+    @jax.jit
+    def joint_spectral(k, h):
+        from spearmint_tpu.core.eigen import joint_eig_cache
+
+        def one(kk, hh):
+            vec0 = jnp.stack([hh.mean, hh.amp2, hh.noise])
+            cache = joint_eig_cache(xj, yj, mj, hh.ls, mcfg.kernel)
+            lp = lambda v: chains_mod._joint_logprob_eig(v, cache, mcfg)
+            return slice_sample(kk, vec0, lp, compwise=False)
+        return jax.vmap(one)(jax.random.split(k, CHAINS), h)
+
+    @jax.jit
     def ls_only(k, h):
         def one(kk, hh):
             lp = lambda l: chains_mod._ls_logprob(l, xj, yj, mj, hh, mcfg)
@@ -112,8 +140,12 @@ def main():
         return jax.vmap(one)(jax.random.split(k, CHAINS), h)
 
     t_joint = bench(joint_only, key, hypers)
+    t_jc = bench(joint_cached, key, hypers)
+    t_js = bench(joint_spectral, key, hypers, reps=2)
     t_ls = bench(ls_only, key, hypers)
     print(f"phase_joint_move_s {t_joint:.4f}")
+    print(f"phase_joint_move_cached_s {t_jc:.4f}")
+    print(f"phase_joint_move_spectral_s {t_js:.4f}")
     print(f"phase_ls_move_s {t_ls:.4f}")
 
     # ---------------- phase 2: posterior caches -------------------------
