@@ -45,17 +45,22 @@ def cholesky(k: jnp.ndarray) -> jnp.ndarray:
 def pad_bucket(n: int, minimum: int = 16) -> int:
     """Static-shape bucket for n observations.
 
-    Buckets are powers of two plus their 1.5× midpoints (16, 24, 32,
-    48, 64, ...): recompilation count stays O(log n_max) while padding
-    waste is ≤ 33% — which matters cubed through the Cholesky (8192³ vs
-    6144³ is 2.4× the FLOPs for n=5000).
+    Buckets are powers of two plus their quarter midpoints (16, 20, 24,
+    28, 32, 40, 48, 56, 64, ...): recompilation count stays O(log n)
+    while padding waste is ≤ 25% linear — which matters cubed through
+    the Cholesky (n=5000 pads to 5120, not the old 1.5×-midpoint 6144:
+    1.73× fewer chol FLOPs, and the batched Cholesky is the measured
+    flagship bottleneck — see docs/PROFILE_r2.md).  Every bucket ≥ 512
+    is a multiple of 128 (MXU tile) and of any power-of-two device
+    count ≤ 32 (obs-mesh divisibility in the chooser's `use_obs` gate).
     """
     b = minimum
     while True:
         if n <= b:
             return b
-        if n <= (b * 3) // 2:
-            return (b * 3) // 2
+        for num in (5, 6, 7):
+            if n <= (b * num) // 4:
+                return (b * num) // 4
         b *= 2
 
 

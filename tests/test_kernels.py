@@ -91,14 +91,18 @@ def test_masked_stats(rng):
 def test_pad_bucket():
     assert linalg.pad_bucket(1) == 16
     assert linalg.pad_bucket(16) == 16
-    assert linalg.pad_bucket(17) == 24
-    assert linalg.pad_bucket(25) == 32
-    assert linalg.pad_bucket(40) == 48
-    assert linalg.pad_bucket(5000) == 6144
-    assert linalg.pad_bucket(10000) == 12288
-    # monotone and always >= n
+    assert linalg.pad_bucket(17) == 20
+    assert linalg.pad_bucket(25) == 28
+    assert linalg.pad_bucket(40) == 40
+    assert linalg.pad_bucket(5000) == 5120
+    assert linalg.pad_bucket(10000) == 10240
+    # monotone, always >= n, waste <= 25% linear
     prev = 0
-    for n in range(1, 2000, 37):
+    for n in range(1, 20000, 37):
         b = linalg.pad_bucket(n)
         assert b >= n and b >= prev
+        assert b <= max(16, (n * 5 + 3) // 4)
         prev = b
+    # every production-scale bucket is MXU-tile and obs-mesh aligned
+    for n in range(512, 20000, 411):
+        assert linalg.pad_bucket(n) % 128 == 0
