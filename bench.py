@@ -315,19 +315,25 @@ def main(argv=None):
 
     if args.all:
         records = []
-        # flagship (the default single-line metric) first
-        records.append(run_config(None, args.n, args.d, args.chains,
-                                  args.cands, args.reps, {},
-                                  args.skip_baseline))
+        # flagship (the default single-line metric) first; --quick
+        # shrinks it too so `--all --quick` smokes every preset in
+        # minutes on CPU (VERDICT r2 missing #3)
+        fn, fc, fr = args.n, args.cands, args.reps
+        if args.quick:
+            fn, fc, fr = min(fn, 256), min(fc, 256), min(fr, 2)
+        records.append(run_config(None, fn, args.d, args.chains,
+                                  fc, fr, {}, args.skip_baseline))
         for preset, cfg in PRESETS.items():
             cfg = dict(cfg)
             n, d = cfg.pop("n"), cfg.pop("d")
             chains, cands = cfg.pop("chains"), cfg.pop("cands")
+            reps = args.reps
             if args.quick:
-                n, cands = min(n, 256), min(cands, 256)
+                n, cands, reps = min(n, 256), min(cands, 256), min(reps, 2)
+                cfg.pop("chain_chunk", None)  # 256-pad needs no chunking
             try:
                 records.append(run_config(preset, n, d, chains, cands,
-                                           args.reps, cfg,
+                                           reps, cfg,
                                            args.skip_baseline))
             except Exception as e:  # record the failure, keep going
                 print(f"# preset {preset} FAILED: {e}", file=sys.stderr)

@@ -152,6 +152,9 @@ class GPConstrainedEIChooser(GPEIOptChooser):
         # mcmc_iters = samples per suggestion, spread across chains
         # (see GPEIOptChooser.next).
         iters_per_chain = max(1, -(-self.mcmc_iters // self.chains))
+        # Same auto memory policy as the flagship (GPEIOptChooser
+        # ._memory_policy): bound live [K, N, N] temps at large pads.
+        chain_chunk, explicit_inv = self._memory_policy(pad)
         cfg = SuggestConfig(
             mcmc_iters=iters_per_chain,
             noiseless=self.noiseless,
@@ -159,6 +162,8 @@ class GPConstrainedEIChooser(GPEIOptChooser):
             grid_subset=self.grid_subset,
             lbfgs_iters=self.lbfgs_iters,
             optimize=self.optimize,
+            chain_chunk=chain_chunk,
+            explicit_inverse=explicit_inv,
         )
         key, ks = jax.random.split(key)
         t0 = time.perf_counter()
@@ -177,6 +182,7 @@ class GPConstrainedEIChooser(GPEIOptChooser):
             acq_best=float(res.best_cand_acq), acq_opt=float(res.acq_opt),
             n_valid=int(valid.sum()),
             c_amp2_med=float(np.median(np.asarray(res.constraint.amp2))),
+            mode="chains", chain_chunk=chain_chunk,
         )
 
         acq_opt = float(res.acq_opt)

@@ -153,7 +153,11 @@ class GPEIOptChooser:
         """
         chunk = self.chain_chunk
         if chunk < 0:
-            per_chain = 4.0 * pad * pad
+            # 2 live [pad, pad] f32 buffers per in-flight chain: the
+            # joint-move covariance cache m0 (mcmc.chains.unit_cov, held
+            # across the whole move since joint_cache defaults on) plus
+            # the per-eval assembled K/chol temp.
+            per_chain = 2 * 4.0 * pad * pad
             c = int(min(self.chains, max(1, 2.5e9 // per_chain)))
             if c >= self.chains:
                 chunk = 0

@@ -136,6 +136,9 @@ class GPEIperSecChooser(GPEIOptChooser):
         # mcmc_iters = samples per suggestion, spread across chains
         # (see GPEIOptChooser.next).
         iters_per_chain = max(1, -(-self.mcmc_iters // self.chains))
+        # Same auto memory policy as the flagship (GPEIOptChooser
+        # ._memory_policy): bound live [K, N, N] temps at large pads.
+        chain_chunk, explicit_inv = self._memory_policy(pad)
         cfg = SuggestConfig(
             mcmc_iters=iters_per_chain,
             noiseless=self.noiseless,
@@ -145,6 +148,8 @@ class GPEIperSecChooser(GPEIOptChooser):
             optimize=self.optimize,
             has_pending=p > 0,
             n_fantasies=self.pending_samples,
+            chain_chunk=chain_chunk,
+            explicit_inverse=explicit_inv,
         )
         import time as _time
 
@@ -165,6 +170,7 @@ class GPEIperSecChooser(GPEIOptChooser):
             latency, n, p, c,
             ei_best=float(res.best_cand_ei), ei_opt=float(res.ei_opt),
             time_amp2_med=float(np.median(np.asarray(res.time_hypers.amp2))),
+            mode="chains", chain_chunk=chain_chunk,
         )
 
         ei_opt = float(res.ei_opt)

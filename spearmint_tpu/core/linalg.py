@@ -50,7 +50,11 @@ def pad_bucket(n: int, minimum: int = 16) -> int:
     while padding waste is ≤ 25% linear — which matters cubed through
     the Cholesky (n=5000 pads to 5120, not the old 1.5×-midpoint 6144:
     1.73× fewer chol FLOPs, and the batched Cholesky is the measured
-    flagship bottleneck — see docs/PROFILE_r2.md).  Every bucket ≥ 512
+    flagship bottleneck — see docs/PROFILE_r3.md).  Tradeoff: 4 buckets
+    per octave vs the old 2, so a growing experiment crosses twice as
+    many shape buckets and pays twice as many full jit recompiles of
+    the suggest step (~20-40 s each, amortized over an experiment's
+    lifetime of suggestions).  Every bucket ≥ 512
     is a multiple of 128 (MXU tile) and of any power-of-two device
     count ≤ 32 (obs-mesh divisibility in the chooser's `use_obs` gate).
     """

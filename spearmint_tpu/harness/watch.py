@@ -125,5 +125,10 @@ def main(argv=None) -> int:
         return 0
 
 
+def cli():
+    """Console-script entry (pyproject [project.scripts])."""
+    raise SystemExit(main())
+
+
 if __name__ == "__main__":
     raise SystemExit(main())

@@ -51,8 +51,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 # Preference order, microbenched on v5e at [10, 6144, 6144] f32:
 # B=768 → 15.6 TFLOP/s (1.34× XLA), B=1024 → 15.1, B=512 → 14.9,
-# XLA cholesky → 11.7.  512 tiles every pad_bucket ≥ 1024; 768 only
-# the 1.5·2^k buckets — pick the fastest that divides N.
+# XLA cholesky → 11.7.  Quarter-midpoint buckets (core/linalg.py) are
+# all multiples of 128 but not all of 512: buckets ≥ 2048 plus 1024/1536
+# tile at 512 or 768 (5120 = 10·512, 7168 = 14·512), while 1280 and 1792
+# divide neither and fall to the slower 256 block — pick the fastest
+# block that divides N.
 BLOCK_PREFERENCE = (768, 512, 256)
 
 

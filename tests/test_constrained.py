@@ -147,3 +147,42 @@ def test_constrained_samples_amp2_and_persists_state(tmp_path):
     assert isinstance(out, (int, tuple))
     with np.load(state_path) as z2:
         assert not np.array_equal(z2["c_ff"], c_ff)  # chains advanced
+
+
+def test_constrained_chunked_matches_unchunked():
+    """chain_chunk/explicit_inverse (flagship memory policy, threaded
+    through in r3) must not change the constrained acquisition."""
+    import jax
+    import jax.numpy as jnp
+
+    from spearmint_tpu.engine.constrained import (
+        init_constraint_states, suggest_step_constrained,
+    )
+    from spearmint_tpu.engine.suggest import SuggestConfig, init_chain_states
+
+    rng = np.random.RandomState(6)
+    n, pad = 14, 16
+    x = rng.rand(n, 2).astype(np.float32)
+    vals = (x[:, 0] ** 2 + 0.05 * rng.randn(n)).astype(np.float64)
+    vals[x[:, 1] > 0.7] = np.nan  # violations
+    xp = np.zeros((pad, 2), np.float32); xp[:n] = x
+    yp = np.zeros(pad, np.float32)
+    valid = np.zeros(pad, bool); valid[:n] = np.isfinite(vals)
+    yp[:n] = np.where(np.isfinite(vals), vals, 0.0)
+    obs = np.arange(pad) < n
+    cand = rng.rand(32, 2).astype(np.float32)
+    xj, yj = jnp.array(xp), jnp.array(yp)
+    vm, om = jnp.array(valid), jnp.array(obs)
+    h = init_chain_states(yj, vm, 2, chains=4)
+    c0 = init_constraint_states(2, pad, chains=4)
+    args = (jax.random.PRNGKey(7), h, c0, xj, yj, vm, om,
+            jnp.array(cand), jnp.ones(32, bool))
+    base = suggest_step_constrained(
+        *args, SuggestConfig(mcmc_iters=2, optimize=False))
+    chunked = suggest_step_constrained(
+        *args, SuggestConfig(mcmc_iters=2, optimize=False, chain_chunk=2,
+                             explicit_inverse=False))
+    np.testing.assert_allclose(np.asarray(base.acq),
+                               np.asarray(chunked.acq),
+                               rtol=2e-4, atol=1e-7)
+    assert int(base.best_cand) == int(chunked.best_cand)

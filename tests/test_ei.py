@@ -99,3 +99,29 @@ def test_augment_shapes(rng):
         jnp.array(xp), jnp.array(yp), jnp.array(mask), pend, pmask, fant)
     assert xa.shape == (20, 2) and ya.shape == (20,) and ma.shape == (20,)
     assert int(ma.sum()) == int(np.sum(mask)) + 2
+
+
+def test_ei_chunked_at_1m_candidates(rng):
+    """sweep1m mechanics (BASELINE config 5 candidate axis): the chunked
+    EI sweep handles C=1e6 candidates at small n on CPU, matches the
+    unchunked values on a sampled subset, and never materializes the
+    full [n, C] solve (peak memory stays O(S·n·chunk))."""
+    x, y, xp, yp, mask, hyp, jh = _setup(rng, n=60, d=2, pad=64)
+    cache = ei_mod.make_cache(jnp.array(xp, jnp.float32),
+                              jnp.array(yp, jnp.float32),
+                              jnp.array(mask), jh)
+    C = 1_000_000
+    cand = jax.random.uniform(jax.random.PRNGKey(0), (C, 2), jnp.float32)
+    out = jax.jit(
+        lambda c: ei_mod.ei_from_cache_chunked(
+            cache, jnp.array(xp, jnp.float32), jnp.array(mask), c)
+    )(cand)
+    out = np.asarray(out)
+    assert out.shape == (C,)
+    assert np.all(np.isfinite(out)) and np.all(out >= 0)
+    # spot-check 1024 random candidates against the direct path
+    idx = np.asarray(
+        jax.random.choice(jax.random.PRNGKey(1), C, (1024,), replace=False))
+    direct = np.asarray(ei_mod.ei_from_cache(
+        cache, jnp.array(xp, jnp.float32), jnp.array(mask), cand[idx]))
+    np.testing.assert_allclose(out[idx], direct, rtol=1e-4, atol=1e-7)

@@ -66,3 +66,49 @@ def test_per_sec_chooser_protocol(tmp_path):
     import os
     z = np.load(os.path.join(str(tmp_path), "GPEIperSecChooser_state.npz"))
     assert "time_ls" in z and z["time_ls"].shape == (3, 2)
+
+
+def test_per_sec_chunked_matches_unchunked():
+    """chain_chunk/explicit_inverse (flagship memory policy, threaded
+    through in r3) must not change the per-sec acquisition."""
+    rng = np.random.RandomState(2)
+    x, y, log_d = _problem(rng)
+    pad = 16
+    mask = jnp.ones(pad, bool)
+    xj, yj, tj = jnp.array(x), jnp.array(y), jnp.array(log_d)
+    cand = rng.rand(32, 2).astype(np.float32)
+    h = init_chain_states(yj, mask, 2, chains=4)
+    t = init_chain_states(tj, mask, 2, chains=4)
+    args = (jax.random.PRNGKey(3), h, t, xj, yj, tj, mask,
+            jnp.zeros((4, 2), jnp.float32), jnp.zeros(4, bool),
+            jnp.array(cand), jnp.ones(32, bool))
+    base = suggest_step_per_sec(
+        *args, SuggestConfig(mcmc_iters=2, optimize=False))
+    chunked = suggest_step_per_sec(
+        *args, SuggestConfig(mcmc_iters=2, optimize=False, chain_chunk=2,
+                             explicit_inverse=False))
+    np.testing.assert_allclose(np.asarray(base.ei_per_s),
+                               np.asarray(chunked.ei_per_s),
+                               rtol=2e-4, atol=1e-7)
+    assert int(base.best_cand) == int(chunked.best_cand)
+
+
+def test_per_sec_chunked_with_pending_fantasies():
+    """Pending-fantasy path under chain_chunk stays finite and coherent."""
+    rng = np.random.RandomState(4)
+    x, y, log_d = _problem(rng)
+    pad = 16
+    mask = jnp.ones(pad, bool)
+    xj, yj, tj = jnp.array(x), jnp.array(y), jnp.array(log_d)
+    cand = rng.rand(32, 2).astype(np.float32)
+    pend = rng.rand(4, 2).astype(np.float32)
+    h = init_chain_states(yj, mask, 2, chains=4)
+    t = init_chain_states(tj, mask, 2, chains=4)
+    cfg = SuggestConfig(mcmc_iters=2, optimize=False, has_pending=True,
+                        n_fantasies=5, chain_chunk=2)
+    res = suggest_step_per_sec(
+        jax.random.PRNGKey(5), h, t, xj, yj, tj, mask,
+        jnp.array(pend), jnp.ones(4, bool),
+        jnp.array(cand), jnp.ones(32, bool), cfg,
+    )
+    assert np.all(np.isfinite(np.asarray(res.ei_per_s)))
