@@ -7,7 +7,7 @@ of engine/suggest.suggest_step as its own jitted program on the real
 device, plus the micro-ops underneath (batched Cholesky, kernel assembly,
 triangular solves, eigh) so optimization choices are grounded in numbers.
 
-Writes docs/PROFILE_r2.md-ready lines to stdout.
+Writes docs/PROFILE_r3.md-ready lines to stdout.
 """
 from __future__ import annotations
 
@@ -121,16 +121,9 @@ def main():
             return slice_sample(kk, vec0, lp, compwise=False)
         return jax.vmap(one)(jax.random.split(k, CHAINS), h)
 
-    @jax.jit
-    def joint_spectral(k, h):
-        from spearmint_tpu.core.eigen import joint_eig_cache
-
-        def one(kk, hh):
-            vec0 = jnp.stack([hh.mean, hh.amp2, hh.noise])
-            cache = joint_eig_cache(xj, yj, mj, hh.ls, mcfg.kernel)
-            lp = lambda v: chains_mod._joint_logprob_eig(v, cache, mcfg)
-            return slice_sample(kk, vec0, lp, compwise=False)
-        return jax.vmap(one)(jax.random.split(k, CHAINS), h)
+    # (r2's spectral joint-move variant was profiled here and removed:
+    # 22.7 s vs 1.13 s cached — batched eigh costs 21.35 s at this
+    # shape, 340× the Cholesky.  docs/PROFILE_r3.md records the run.)
 
     @jax.jit
     def ls_only(k, h):
@@ -141,11 +134,9 @@ def main():
 
     t_joint = bench(joint_only, key, hypers)
     t_jc = bench(joint_cached, key, hypers)
-    t_js = bench(joint_spectral, key, hypers, reps=2)
     t_ls = bench(ls_only, key, hypers)
     print(f"phase_joint_move_s {t_joint:.4f}")
     print(f"phase_joint_move_cached_s {t_jc:.4f}")
-    print(f"phase_joint_move_spectral_s {t_js:.4f}")
     print(f"phase_ls_move_s {t_ls:.4f}")
 
     # ---------------- phase 2: posterior caches -------------------------
@@ -250,9 +241,8 @@ def main():
     t_ti = bench(tri_inv, chols)
     print(f"micro_tri_inverse10_s {t_ti:.4f}")
 
-    eigh_j = jax.jit(lambda k: jnp.linalg.eigh(k))
-    t_eigh = bench(eigh_j, ks, reps=2)
-    print(f"micro_eigh10_s {t_eigh:.4f}")
+    # (micro_eigh10 measured once in r3: 21.35 s — see PROFILE_r3.md;
+    # dropped from the default run, it dominates profile wall-time.)
 
     # eval-count instrumentation: how many logprob evals does one sweep
     # actually serialize (lockstep max across the vmapped chains)?

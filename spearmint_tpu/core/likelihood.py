@@ -83,8 +83,11 @@ def log_marginal(
     k = cov_matrix(x, mask, hypers.amp2, hypers.noise, hypers.ls, kernel)
     chol = linalg.cholesky(k)
     resid = jnp.where(mask, y - hypers.mean, 0.0)
-    solve = linalg.chol_solve(chol, resid)
-    lp = -linalg.logdet_from_chol(chol) - 0.5 * jnp.dot(resid, solve)
+    # One forward solve, not chol_solve's two: rᵀK⁻¹r = ‖L⁻¹r‖².  A
+    # single-RHS triangular solve is latency-bound on TPU (sequential
+    # blocked substitution), and this runs once per slice evaluation.
+    w = linalg.tri_solve(chol, resid)
+    lp = -linalg.logdet_from_chol(chol) - 0.5 * jnp.dot(w, w)
     # A failed (non-PD) factorization yields NaN; slice sampling treats it
     # as −inf, mirroring the reference's hard failure but recoverably.
     return jnp.where(jnp.isnan(lp), -jnp.inf, lp)

@@ -95,8 +95,9 @@ def _sample_constraint(key, state: ConstraintState, x, z, mask, kernel,
         ls_s = jnp.clip(ls, 1e-6, max_ls)
         k = _constraint_cov(x, mask, ls_s, state.amp2, kernel)
         ch = linalg.cholesky(k)
-        alpha = linalg.chol_solve(ch, ff)
-        lp = -linalg.logdet_from_chol(ch) - 0.5 * jnp.dot(ff, alpha)
+        # single forward solve (see core.likelihood.log_marginal)
+        w = linalg.tri_solve(ch, ff)
+        lp = -linalg.logdet_from_chol(ch) - 0.5 * jnp.dot(w, w)
         lp = jnp.where(jnp.isnan(lp), -jnp.inf, lp)
         return jnp.where(valid, lp, -jnp.inf)
 
@@ -110,7 +111,8 @@ def _sample_constraint(key, state: ConstraintState, x, z, mask, kernel,
     ls_s = jnp.clip(ls, 1e-6, max_ls)
     unit = _constraint_cov(x, mask, ls_s, jnp.asarray(1.0, x.dtype), kernel)
     chu = linalg.cholesky(unit)
-    quad = jnp.dot(ff, linalg.chol_solve(chu, ff))
+    wu = linalg.tri_solve(chu, ff)
+    quad = jnp.dot(wu, wu)
     half_logdet_unit = linalg.logdet_from_chol(chu)
     n_eff = jnp.sum(mask.astype(x.dtype))
 

@@ -67,10 +67,6 @@ class SuggestConfig(NamedTuple):
                                    # evals) is a GEMM, not a sequential
                                    # trisolve; costs one extra [S, N, N]
                                    # buffer + one triangular inversion
-    joint_eig: bool = False        # spectral cache for the joint slice
-                                   # move: one eigh per move, O(n) per
-                                   # evaluation (core/eigen.py)
-
     @property
     def kernel(self):
         return get_kernel(self.kernel_name)
@@ -79,7 +75,7 @@ class SuggestConfig(NamedTuple):
     def mcmc(self) -> MCMCConfig:
         return MCMCConfig(
             noiseless=self.noiseless, max_ls=self.max_ls,
-            kernel=self.kernel, joint_eig=self.joint_eig,
+            kernel=self.kernel,
         )
 
 

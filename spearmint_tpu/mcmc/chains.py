@@ -41,12 +41,11 @@ class MCMCConfig(NamedTuple):
     # observation-sharded version (same (x, y, mask, hypers, kernel)
     # signature) so the whole slice-sampling sweep runs distributed.
     marginal: Callable = log_marginal
-    # Joint-move spectral cache: the (mean, amp2, noise) move holds ls
-    # fixed, so one eigh of k(X,X)+jitter·I replaces the per-evaluation
-    # O(n³) Cholesky with an O(n) spectral formula (core/eigen.py).
-    # Only valid with the dense local `marginal` (the obs-sharded path
-    # keeps its distributed Cholesky).
-    joint_eig: bool = False
+    # (A spectral joint-move cache — one eigh per move, O(n) per slice
+    # evaluation — was built in r2 and DELETED in r3 on measurement:
+    # batched eigh at [10, 5120, 5120] takes 21.35 s on v5e vs 0.063 s
+    # for the Cholesky it would amortize, 340× too slow to ever win.
+    # See docs/PROFILE_r3.md.)
     # Joint-move covariance cache: with ls fixed across the whole joint
     # move, M = k(X,X)+jitter·I is constant, so each slice evaluation
     # assembles K = amp2·M + noise·I with one fused fma instead of
@@ -114,8 +113,9 @@ def _marginal_from_unit_cov(m0, y, mask, mean, amp2, noise):
     k = amp2 * m0 + diag_add * eye
     chol = linalg.cholesky(k)
     resid = jnp.where(mask, y - mean, 0.0)
-    solve = linalg.chol_solve(chol, resid)
-    lp = -linalg.logdet_from_chol(chol) - 0.5 * jnp.dot(resid, solve)
+    # single forward solve (see core.likelihood.log_marginal)
+    w = linalg.tri_solve(chol, resid)
+    lp = -linalg.logdet_from_chol(chol) - 0.5 * jnp.dot(w, w)
     return jnp.where(jnp.isnan(lp), -jnp.inf, lp)
 
 
@@ -134,28 +134,6 @@ def _joint_logprob_cached(vec, m0, y, mask, config: MCMCConfig):
     amp2_s = jnp.where(amp2 > 0.0, amp2, 1.0)
     noise_s = jnp.where(noise > 0.0, noise, 1.0)
     lp = _marginal_from_unit_cov(m0, y, mask, mean, amp2_s, noise_s)
-    lp = lp + priors.lognormal_amp2_term(amp2_s, config.amp2_scale)
-    if not config.noiseless:
-        lp = lp + priors.horseshoe_logpdf(noise_s, config.noise_scale)
-    return jnp.where(valid, lp, -jnp.inf)
-
-
-def _joint_logprob_eig(vec, cache, config: MCMCConfig):
-    """O(n) spectral version of ``_joint_logprob`` (same priors/bounds)."""
-    from spearmint_tpu.core.eigen import log_marginal_eig
-
-    mean = vec[0]
-    amp2 = vec[1]
-    noise = vec[2] if not config.noiseless else jnp.asarray(
-        priors.DEFAULT_NOISE, vec.dtype
-    )
-    valid = (
-        priors.mean_in_bounds(mean, cache.y_min, cache.y_max)
-        & (amp2 > 0.0) & (noise > 0.0)
-    )
-    amp2_s = jnp.where(amp2 > 0.0, amp2, 1.0)
-    noise_s = jnp.where(noise > 0.0, noise, 1.0)
-    lp = log_marginal_eig(cache, mean, amp2_s, noise_s)
     lp = lp + priors.lognormal_amp2_term(amp2_s, config.amp2_scale)
     if not config.noiseless:
         lp = lp + priors.horseshoe_logpdf(noise_s, config.noise_scale)
@@ -190,14 +168,7 @@ def sample_hypers(
     else:
         vec0 = jnp.stack([hypers.mean, hypers.amp2, hypers.noise])
 
-    if config.joint_eig:
-        from spearmint_tpu.core.eigen import joint_eig_cache
-
-        cache = joint_eig_cache(x, y, mask, hypers.ls, config.kernel)
-
-        def joint_lp(vec):
-            return _joint_logprob_eig(vec, cache, config)
-    elif config.joint_cache and config.marginal is log_marginal:
+    if config.joint_cache and config.marginal is log_marginal:
         m0 = unit_cov(x, mask, hypers.ls, config.kernel)
 
         def joint_lp(vec):
