@@ -47,8 +47,16 @@ def ard_sqdist(x1: jnp.ndarray, x2: jnp.ndarray, ls: jnp.ndarray) -> jnp.ndarray
         b2 = jnp.sum(b * b, axis=-1)
         d2 = a2[:, None] + b2[None, :] - 2.0 * a @ b.T
     else:
-        diff = a[:, None, :] - b[None, :, :]
-        d2 = jnp.sum(diff * diff, axis=-1)
+        # Unrolled per-dimension accumulation of (n, m) terms.  The
+        # one-shot broadcast form ((a[:,None,:]-b[None,:,:])**2).sum(-1)
+        # materializes an (n, m, D) temporary that XLA does not always
+        # fuse away — measured 29 ms for 10×5120² at D=2 on v5e, ~20×
+        # the bandwidth floor of the (n, m) output alone.  Same values,
+        # same left-to-right summation order.
+        d2 = jnp.zeros(a.shape[:-1] + b.shape[:-1], a.dtype)
+        for d in range(x1.shape[-1]):
+            diff = a[..., d][:, None] - b[..., d][None, :]
+            d2 = d2 + diff * diff
     return jnp.maximum(d2, 0.0)
 
 

@@ -85,8 +85,9 @@ def log_marginal(
     resid = jnp.where(mask, y - hypers.mean, 0.0)
     # One forward solve, not chol_solve's two: rᵀK⁻¹r = ‖L⁻¹r‖².  A
     # single-RHS triangular solve is latency-bound on TPU (sequential
-    # blocked substitution), and this runs once per slice evaluation.
-    w = linalg.tri_solve(chol, resid)
+    # blocked substitution), and this runs once per slice evaluation —
+    # the blocked variant cuts its sequential depth ~20× (linalg).
+    w = linalg.tri_solve_1rhs(chol, resid)
     lp = -linalg.logdet_from_chol(chol) - 0.5 * jnp.dot(w, w)
     # A failed (non-PD) factorization yields NaN; slice sampling treats it
     # as −inf, mirroring the reference's hard failure but recoverably.

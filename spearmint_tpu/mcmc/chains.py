@@ -114,7 +114,7 @@ def _marginal_from_unit_cov(m0, y, mask, mean, amp2, noise):
     chol = linalg.cholesky(k)
     resid = jnp.where(mask, y - mean, 0.0)
     # single forward solve (see core.likelihood.log_marginal)
-    w = linalg.tri_solve(chol, resid)
+    w = linalg.tri_solve_1rhs(chol, resid)
     lp = -linalg.logdet_from_chol(chol) - 0.5 * jnp.dot(w, w)
     return jnp.where(jnp.isnan(lp), -jnp.inf, lp)
 
