@@ -34,7 +34,7 @@ from spearmint_tpu.core.likelihood import GPHypers, JITTER
 from spearmint_tpu.engine.suggest import (
     SuggestConfig, _chunked_vmap, _flatten_samples,
 )
-from spearmint_tpu.mcmc.chains import sample_hypers
+from spearmint_tpu.mcmc.chains import marginal_at, sample_hypers_lp
 from spearmint_tpu.mcmc.ess import elliptical_slice
 from spearmint_tpu.mcmc.slice import slice_sample
 
@@ -197,12 +197,16 @@ def suggest_step_constrained(
     # --- value GP over valid observations -------------------------------
     def chain_fn(k, h0):
         ks = jax.random.split(k, iters)
+        lp0 = marginal_at(x, y, valid_mask, h0, config.mcmc)
 
-        def body(h, kk):
-            h2 = sample_hypers(kk, h, x, y, valid_mask, config.mcmc)
-            return h2, h2
+        def body(carry, kk):
+            h, lp = carry
+            h2, lp2 = sample_hypers_lp(kk, h, lp, x, y, valid_mask,
+                                       config.mcmc)
+            return (h2, lp2), h2
 
-        return lax.scan(body, h0, ks)
+        (h_out, _), samples = lax.scan(body, (h0, lp0), ks)
+        return h_out, samples
 
     # chain_chunk / explicit_inverse: the flagship's memory policy,
     # threaded through so large-pad constrained suggestions stay under

@@ -350,7 +350,7 @@ def sharded_suggest_obs(mesh: Mesh, config):
         _chunked_vmap,
         _flatten_samples,
     )
-    from spearmint_tpu.mcmc.chains import sample_hypers
+    from spearmint_tpu.mcmc.chains import marginal_at, sample_hypers_lp
 
     kernel = config.kernel
     mcfg = config.mcmc._replace(
@@ -368,12 +368,15 @@ def sharded_suggest_obs(mesh: Mesh, config):
 
         def chain_fn(k, h0):
             ks = jax.random.split(k, iters)
+            lp0 = marginal_at(x, y, mask, h0, mcfg)
 
-            def bd(h, kk):
-                h2 = sample_hypers(kk, h, x, y, mask, mcfg)
-                return h2, h2
+            def bd(carry, kk):
+                h, lp = carry
+                h2, lp2 = sample_hypers_lp(kk, h, lp, x, y, mask, mcfg)
+                return (h2, lp2), h2
 
-            return lax.scan(bd, h0, ks)
+            (h_out, _), samples = lax.scan(bd, (h0, lp0), ks)
+            return h_out, samples
 
         h_last, samples = _chunked_vmap(chain_fn, config.chain_chunk)(
             jax.random.split(k_chains, chains), hypers)

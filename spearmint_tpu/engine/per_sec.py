@@ -30,7 +30,7 @@ from spearmint_tpu.core.likelihood import GPHypers
 from spearmint_tpu.engine.suggest import (
     SuggestConfig, _chunked_vmap, _flatten_samples,
 )
-from spearmint_tpu.mcmc.chains import sample_hypers
+from spearmint_tpu.mcmc.chains import marginal_at, sample_hypers_lp
 
 
 class PerSecResult(NamedTuple):
@@ -66,12 +66,16 @@ def suggest_step_per_sec(
 
     def chain_scan(k, h0, data):
         ks = jax.random.split(k, iters)
+        lp0 = marginal_at(x, data, mask, h0, config.mcmc)
 
-        def body(h, kk):
-            h2 = sample_hypers(kk, h, x, data, mask, config.mcmc)
-            return h2, h2
+        def body(carry, kk):
+            h, lp = carry
+            h2, lp2 = sample_hypers_lp(kk, h, lp, x, data, mask,
+                                       config.mcmc)
+            return (h2, lp2), h2
 
-        return lax.scan(body, h0, ks)
+        (h_out, _), samples = lax.scan(body, (h0, lp0), ks)
+        return h_out, samples
 
     # chain_chunk (the flagship's memory policy, SuggestConfig) bounds
     # the live [K, N, N] cov/chol temps to chunk-sized chain groups for

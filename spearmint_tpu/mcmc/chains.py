@@ -151,16 +151,36 @@ def _ls_logprob(ls, x, y, mask, hypers: GPHypers, config: MCMCConfig):
     return jnp.where(valid, lp, -jnp.inf)
 
 
+def _joint_prior_terms(amp2, noise, config: MCMCConfig):
+    """The prior terms separating the joint-move log posterior from the
+    bare GP log-marginal at an in-bounds state."""
+    t = priors.lognormal_amp2_term(amp2, config.amp2_scale)
+    if not config.noiseless:
+        t = t + priors.horseshoe_logpdf(noise, config.noise_scale)
+    return t
+
+
 @partial(jax.jit, static_argnames=("config",))
-def sample_hypers(
+def sample_hypers_lp(
     key: jax.Array,
     hypers: GPHypers,
+    lp_mar: jnp.ndarray,
     x: jnp.ndarray,
     y: jnp.ndarray,
     mask: jnp.ndarray,
     config: MCMCConfig = MCMCConfig(),
-) -> GPHypers:
-    """One full hyperparameter sweep of a single chain."""
+):
+    """One full hyperparameter sweep, carrying the GP log-marginal.
+
+    ``lp_mar`` is ``config.marginal`` evaluated at ``hypers`` (from the
+    previous sweep's ls move, or one explicit evaluation at the start
+    of a scan — see ``marginal_at``).  Both slice moves then skip their
+    initial O(n³) evaluation: the joint move's log posterior at the
+    current state is lp_mar + prior terms, and the ls move's tophat
+    posterior at the post-joint state is the joint move's accepted lp
+    minus the same terms.  Returns ``(hypers', lp_mar')`` with the
+    carry valid for the next sweep on unchanged data.
+    """
     k_joint, k_ls = jax.random.split(key)
 
     if config.noiseless:
@@ -177,7 +197,10 @@ def sample_hypers(
         def joint_lp(vec):
             return _joint_logprob(vec, x, y, mask, hypers.ls, config)
 
-    vec = slice_sample(k_joint, vec0, joint_lp, compwise=False)
+    lp0_joint = lp_mar + _joint_prior_terms(hypers.amp2, hypers.noise,
+                                            config)
+    vec, lp_joint = slice_sample(k_joint, vec0, joint_lp, compwise=False,
+                                 lp0=lp0_joint, with_lp=True)
     mean, amp2 = vec[0], vec[1]
     noise = (
         jnp.asarray(priors.DEFAULT_NOISE, vec.dtype)
@@ -190,8 +213,30 @@ def sample_hypers(
     def ls_lp(ls):
         return _ls_logprob(ls, x, y, mask, mid, config)
 
-    ls = slice_sample(k_ls, hypers.ls, ls_lp, compwise=True)
-    return GPHypers(mean, amp2, noise, ls)
+    lp0_ls = lp_joint - _joint_prior_terms(amp2, noise, config)
+    ls, lp_ls = slice_sample(k_ls, hypers.ls, ls_lp, compwise=True,
+                             lp0=lp0_ls, with_lp=True)
+    return GPHypers(mean, amp2, noise, ls), lp_ls
+
+
+def marginal_at(x, y, mask, hypers: GPHypers, config: MCMCConfig):
+    """One explicit carry-seed evaluation of ``config.marginal``."""
+    return config.marginal(x, y, mask, hypers, config.kernel)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def sample_hypers(
+    key: jax.Array,
+    hypers: GPHypers,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    mask: jnp.ndarray,
+    config: MCMCConfig = MCMCConfig(),
+) -> GPHypers:
+    """One full hyperparameter sweep of a single chain."""
+    lp_mar = marginal_at(x, y, mask, hypers, config)
+    out, _ = sample_hypers_lp(key, hypers, lp_mar, x, y, mask, config)
+    return out
 
 
 def sample_hypers_batch(
@@ -219,10 +264,13 @@ def burnin(
     config: MCMCConfig = MCMCConfig(),
 ) -> GPHypers:
     """Reference burn-in (≈100 sweeps at first init), one chain."""
+    lp0 = marginal_at(x, y, mask, hypers, config)
 
-    def body(h, k):
-        return sample_hypers(k, h, x, y, mask, config), None
+    def body(carry, k):
+        h, lp = carry
+        h2, lp2 = sample_hypers_lp(k, h, lp, x, y, mask, config)
+        return (h2, lp2), None
 
     keys = jax.random.split(key, steps)
-    out, _ = jax.lax.scan(body, hypers, keys)
+    (out, _), _ = jax.lax.scan(body, (hypers, lp0), keys)
     return out

@@ -147,7 +147,7 @@ def _direction_slice(
 @partial(
     jax.jit,
     static_argnames=("logprob", "sigma", "step_out", "max_steps_out",
-                     "max_shrink", "compwise"),
+                     "max_shrink", "compwise", "with_lp"),
 )
 def slice_sample(
     key: jax.Array,
@@ -158,13 +158,20 @@ def slice_sample(
     max_steps_out: int = MAX_STEPS_OUT,
     max_shrink: int = MAX_SHRINK,
     compwise: bool = False,
-) -> jnp.ndarray:
+    lp0: jnp.ndarray | None = None,
+    with_lp: bool = False,
+):
     """One slice-sampling sweep from x0 under ``logprob``.
 
     compwise=True: one move per coordinate, in a uniformly random order
     (reference's ARD length-scale mode).  compwise=False: a single move
     along a random direction on the unit sphere (reference's joint
     mean/amp2/noise mode).
+
+    ``lp0``: the caller's known value of ``logprob(x0)`` — skips the
+    initial O(n³) evaluation (chains.sample_hypers carries it across
+    the joint→ls→next-sweep sequence).  ``with_lp=True`` additionally
+    returns ``logprob`` at the returned point, enabling that carry.
     """
     x0 = jnp.asarray(x0)
     dim = x0.shape[0]
@@ -183,16 +190,19 @@ def slice_sample(
             )
             return (x_new, lp_new), None
 
-        lp_init = logprob(x0)
-        lp_init = jnp.where(jnp.isnan(lp_init), -jnp.inf, lp_init)
-        (x_final, _), _ = lax.scan(body, (x0, lp_init), (keys, order))
-        return x_final
+        if lp0 is None:
+            lp0 = logprob(x0)
+        lp_init = jnp.where(jnp.isnan(lp0), -jnp.inf, lp0)
+        (x_final, lp_final), _ = lax.scan(body, (x0, lp_init), (keys, order))
+        return (x_final, lp_final) if with_lp else x_final
     else:
         k_dir, k_move = jax.random.split(key)
         direction = jax.random.normal(k_dir, (dim,), dtype=x0.dtype)
         direction = direction / jnp.sqrt(jnp.sum(direction**2))
-        x_new, _ = _direction_slice(
+        if lp0 is not None:
+            lp0 = jnp.where(jnp.isnan(lp0), -jnp.inf, lp0)
+        x_new, lp_new = _direction_slice(
             k_move, x0, direction, logprob, sigma, step_out, max_steps_out,
-            max_shrink,
+            max_shrink, lp0=lp0,
         )
-        return x_new
+        return (x_new, lp_new) if with_lp else x_new
