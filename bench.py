@@ -72,6 +72,11 @@ def time_tpu(n, d, chains, cands, reps, lbfgs_iters=20, grid_subset=10,
 
     key = jax.random.PRNGKey(0)
 
+    if obs_shard == "auto":
+        # Production gate (GPEIOptChooser.next use_obs): the obs mesh
+        # only exists with >1 device; single-chip runs the local
+        # chain-chunked path.
+        obs_shard = len(jax.devices()) > 1
     if obs_shard:
         # Production large-n path: the n×n working set sharded over an
         # obs mesh of ALL available devices (degenerates to 1-way on a
@@ -244,11 +249,16 @@ PRESETS = {
     # async: 64 pending fantasized (F=100 draws/sample)
     "async": dict(n=1000, d=2, chains=10, cands=2048, n_pending=64,
                   n_fantasies=100),
-    # large-n: 10k observations through the PRODUCTION obs-sharded path
-    # (engine/obs_shard.sharded_suggest_obs over all devices; 1-way on a
-    # single chip).  chain_chunk bounds the MCMC phase's [K, N, N] temps.
+    # large-n: 10k observations through the production large-n route —
+    # the obs-sharded path when a multi-device mesh exists, the local
+    # chain-chunked path on a single chip (same gate as
+    # GPEIOptChooser.next's use_obs: ndev > 1).  A 1-way obs mesh was
+    # measured OOM at pad 10240 (XLA keeps ~16 live panel copies of the
+    # colblock factorization's [N, N] carry, 17.4 GB > 15.75 GB HBM) —
+    # and production never routes there.  chain_chunk=1 +
+    # explicit_inverse=False bound the local path's [K, N, N] temps.
     "large": dict(n=10000, d=2, chains=4, cands=8192, chain_chunk=1,
-                  obs_shard=True),
+                  explicit_inverse=False, obs_shard="auto"),
     # the 1M-candidate EI sweep (config 5's candidate axis, single chip)
     "sweep1m": dict(n=1000, d=2, chains=10, cands=1_000_000,
                     grid_subset=5, lbfgs_iters=10),

@@ -122,3 +122,21 @@ def test_grid_only_mode(tiny_problem):
                        p["pend"], p["pend_mask"], p["cand"], p["cand_mask"], cfg)
     np.testing.assert_array_equal(
         np.asarray(res.x_opt), np.asarray(p["cand"])[int(res.best_cand)])
+
+
+def test_memory_policy_resolution(tmp_path):
+    """Auto memory policy (shared by GPEIOpt/per-sec/constrained
+    choosers): small pads run unchunked with L-inverse; large pads chunk
+    the chain axis (accounting for the 2x joint-cache m0 buffer) and
+    drop the explicit inverse."""
+    from spearmint_tpu.choosers.GPEIOptChooser import GPEIOptChooser
+
+    ch = GPEIOptChooser(str(tmp_path), chains=10)
+    assert ch._memory_policy(2048) == (0, True)      # small: plain vmap
+    chunk, inv = ch._memory_policy(10240)            # large-n bucket
+    assert 0 < chunk < 10 and 10 % chunk == 0        # chunked evenly
+    assert inv is False                              # no [S, N, N] L^-1
+    # explicit overrides win
+    ch2 = GPEIOptChooser(str(tmp_path), chains=10, chain_chunk=5,
+                         explicit_inverse=1)
+    assert ch2._memory_policy(10240) == (5, True)
