@@ -27,17 +27,22 @@ kernel runs in interpreter mode, so CPU tests exercise the same code.
 
 The k-loop is static (one pallas_call per panel, all inside one jit).
 
-INTEGRATION STATUS (measured, v5e): isolated and under vmap/fori/while
-contexts this kernel holds 1.27–1.34× over XLA's cholesky at
-[10, 6144, 6144] f32.  Enabled inside the full suggest step
-(SPEARMINT_TPU_PALLAS_CHOL=1) it *regresses* end-to-end (17.9 s vs
-5.6 s flagship) and the jit compile of one slice-sampling sweep blows
-past 25 minutes: every logprob call site in the sweep's while/scan
-bodies inlines nb pallas_calls and Mosaic recompiles each, and the
-aliased in-place update forbids the producer/consumer fusions XLA
-otherwise applies around its own cholesky.  Hence the engine default
-stays XLA; this kernel remains correct, tested, and available for
-few-call-site, large-N batch contexts.
+INTEGRATION STATUS (measured, v5e, twice): isolated and under
+vmap/fori/while contexts this kernel holds 1.27–1.34× over XLA's
+cholesky at [10, 6144, 6144] f32.  Enabled inside the full suggest
+step (SPEARMINT_TPU_PALLAS_CHOL=1) it *regresses* end-to-end:
+r2 measured 17.9 s vs 5.6 s with >25-minute sweep compiles (every
+logprob call site inlined nb pallas_calls); r3's single-call-site
+slice loop + lp carry cut the sweep to 2 chol sites and the compile
+problem disappeared (full bench run in ~3 min) — but the runtime
+regression remains: 9.97 s vs 2.16 s flagship.  The aliased in-place
+trailing update forbids the producer/consumer fusions XLA applies
+around its own cholesky (per-eval assembly, masking, solves all fuse
+into XLA's chol pipeline; the pallas path materializes each), and the
+10-panel Python loop serializes dynamic_update_slice round-trips per
+evaluation.  The engine default stays XLA; this kernel remains
+correct, tested, and available for few-call-site, large-N batch
+contexts (e.g. one-shot factorization phases).
 """
 
 from __future__ import annotations

@@ -60,3 +60,20 @@ def test_vmap_chains_independent():
     x = np.asarray(x)
     # chains decorrelate: all distinct values
     assert len(np.unique(x.round(6))) == 8
+
+
+def test_lp0_carry_is_exact():
+    """Passing lp0 = logprob(x0) (the r3 cross-move carry) must produce
+    bit-identical samples to letting the sampler evaluate it."""
+    logprob = lambda x: -0.5 * jnp.sum((x - 0.7) ** 2) * 3.0
+    for compwise in (False, True):
+        for seed in range(4):
+            k = jax.random.PRNGKey(seed)
+            x0 = jnp.array([0.2, -0.4], jnp.float32)
+            a = slice_sample(k, x0, logprob, compwise=compwise)
+            b, lp_b = slice_sample(k, x0, logprob, compwise=compwise,
+                                   lp0=logprob(x0), with_lp=True)
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            # the returned lp is the logprob at the returned point
+            np.testing.assert_allclose(float(lp_b), float(logprob(b)),
+                                       rtol=1e-5, atol=1e-6)
