@@ -81,14 +81,14 @@ def log_marginal(
 ) -> jnp.ndarray:
     """Reference GP log-marginal (sans 2π constant), masked/jittable."""
     k = cov_matrix(x, mask, hypers.amp2, hypers.noise, hypers.ls, kernel)
-    chol = linalg.cholesky(k)
     resid = jnp.where(mask, y - hypers.mean, 0.0)
-    # One forward solve, not chol_solve's two: rᵀK⁻¹r = ‖L⁻¹r‖².  A
-    # single-RHS triangular solve is latency-bound on TPU (sequential
-    # blocked substitution), and this runs once per slice evaluation —
-    # the blocked variant cuts its sequential depth ~20× (linalg).
-    w = linalg.tri_solve_1rhs(chol, resid)
-    lp = -linalg.logdet_from_chol(chol) - 0.5 * jnp.dot(w, w)
+    # One fused call: rᵀK⁻¹r = ‖L⁻¹r‖² via the in-factorization solve
+    # (no standalone latency-bound trisolve), Σ log diag(L) from the
+    # same factorization.  On TPU this is a single Pallas kernel
+    # (ops/pallas_gp); off-TPU it is the chol→blocked-trisolve XLA
+    # sequence (linalg.chol_logdet_q).
+    ld, q = linalg.chol_logdet_q(k, resid)
+    lp = -ld - 0.5 * q
     # A failed (non-PD) factorization yields NaN; slice sampling treats it
     # as −inf, mirroring the reference's hard failure but recoverably.
     return jnp.where(jnp.isnan(lp), -jnp.inf, lp)

@@ -188,6 +188,69 @@ def logdet_from_chol(chol: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)))
 
 
+# Fused logdet+quadratic backend switch (ops/pallas_gp): the whole
+# slice-evaluation pipeline — blocked Cholesky, Σ log diag, and the
+# in-factorization solve of ‖L⁻¹r‖² — as ONE Pallas kernel.  Trace-time
+# flag; TPU-only (the dispatch checks backend and shape).
+_FUSED_LOGDET_Q = os.environ.get("SPEARMINT_TPU_FUSED_CHOL", "1") == "1"
+
+
+def set_fused_logdet_q(on: bool) -> None:
+    global _FUSED_LOGDET_Q
+    _FUSED_LOGDET_Q = bool(on)
+
+
+def _fused_ok(n: int) -> bool:
+    if not _FUSED_LOGDET_Q:
+        return False
+    from spearmint_tpu.ops import pallas_gp
+
+    return pallas_gp.supported(n)
+
+
+@jax.custom_batching.custom_vmap
+def chol_logdet_q(k: jnp.ndarray, resid: jnp.ndarray):
+    """(Σ log diag chol(K), rᵀK⁻¹r) — the slice-sampling hot call.
+
+    k: (N, N) PSD (masked-padded), resid: (N,).  On TPU at supported
+    shapes this fuses factorization, log-determinant and the
+    in-factorization forward solve into one Pallas kernel
+    (ops/pallas_gp); elsewhere it is exactly the XLA sequence the
+    engine always used (cholesky → tri_solve_1rhs → logdet), so CPU
+    goldens are bit-identical.  The custom_vmap rule batches the whole
+    call (a leading chains axis) instead of letting vmap enter the
+    kernel.  Not differentiable on the fused path (slice sampling is
+    derivative-free; EI gradients use the posterior caches instead).
+    """
+    if _fused_ok(k.shape[-1]):
+        from spearmint_tpu.ops.pallas_gp import logdet_q_pallas
+
+        ld, q = logdet_q_pallas(k[None], resid[None])
+        return ld[0], q[0]
+    chol = cholesky(k)
+    w = tri_solve_1rhs(chol, resid)
+    return logdet_from_chol(chol), jnp.dot(w, w)
+
+
+@chol_logdet_q.def_vmap
+def _chol_logdet_q_vmap(axis_size, in_batched, k, resid):
+    kb, rb = in_batched
+    if not kb:
+        k = jnp.broadcast_to(k, (axis_size,) + k.shape)
+    if not rb:
+        resid = jnp.broadcast_to(resid, (axis_size,) + resid.shape)
+    if _fused_ok(k.shape[-1]):
+        from spearmint_tpu.ops.pallas_gp import logdet_q_pallas
+
+        ld, q = logdet_q_pallas(k, resid)
+    else:
+        chols = cholesky(k)
+        w = jax.vmap(tri_solve_1rhs)(chols, resid)
+        ld = jax.vmap(logdet_from_chol)(chols)
+        q = jnp.sum(w * w, axis=-1)
+    return (ld, q), (True, True)
+
+
 def masked_min(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.min(jnp.where(mask, x, jnp.inf))
 

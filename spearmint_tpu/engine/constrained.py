@@ -94,10 +94,9 @@ def _sample_constraint(key, state: ConstraintState, x, z, mask, kernel,
         valid = priors.ls_in_bounds(ls, max_ls)
         ls_s = jnp.clip(ls, 1e-6, max_ls)
         k = _constraint_cov(x, mask, ls_s, state.amp2, kernel)
-        ch = linalg.cholesky(k)
-        # single forward solve (see core.likelihood.log_marginal)
-        w = linalg.tri_solve(ch, ff)
-        lp = -linalg.logdet_from_chol(ch) - 0.5 * jnp.dot(w, w)
+        # fused factor+logdet+solve (see core.likelihood.log_marginal)
+        ld, q = linalg.chol_logdet_q(k, ff)
+        lp = -ld - 0.5 * q
         lp = jnp.where(jnp.isnan(lp), -jnp.inf, lp)
         return jnp.where(valid, lp, -jnp.inf)
 

@@ -111,11 +111,10 @@ def _marginal_from_unit_cov(m0, y, mask, mean, amp2, noise):
     eye = jnp.eye(m0.shape[-1], dtype=m0.dtype)
     diag_add = jnp.where(mask, noise, jnp.asarray(1.0, m0.dtype))
     k = amp2 * m0 + diag_add * eye
-    chol = linalg.cholesky(k)
     resid = jnp.where(mask, y - mean, 0.0)
-    # single forward solve (see core.likelihood.log_marginal)
-    w = linalg.tri_solve_1rhs(chol, resid)
-    lp = -linalg.logdet_from_chol(chol) - 0.5 * jnp.dot(w, w)
+    # fused factor+logdet+solve (see core.likelihood.log_marginal)
+    ld, q = linalg.chol_logdet_q(k, resid)
+    lp = -ld - 0.5 * q
     return jnp.where(jnp.isnan(lp), -jnp.inf, lp)
 
 
