@@ -251,6 +251,61 @@ def _chol_logdet_q_vmap(axis_size, in_batched, k, resid):
     return (ld, q), (True, True)
 
 
+@jax.custom_batching.custom_vmap
+def fma_logdet_q(m0: jnp.ndarray, amp2: jnp.ndarray, dadd: jnp.ndarray,
+                 resid: jnp.ndarray):
+    """``chol_logdet_q(amp2·m0 + diag(dadd), resid)`` without the XLA
+    assembly pass: on TPU at supported shapes the fma happens inside the
+    fused kernel as each tile is first touched (the joint slice move
+    re-evaluates this ~10× per move against the SAME m0 — skipping the
+    per-evaluation 1 GB materialize/reload is worth ~20% of the move).
+    m0: (N, N) unit covariance with padded rows/cols zeroed (unit_cov),
+    amp2: scalar, dadd: (N,) diagonal additions, resid: (N,).
+    """
+    if _fused_ok(m0.shape[-1]):
+        ld, q = _shifted_rescaled(m0[None], amp2[None], dadd[None],
+                                  resid[None])
+        return ld[0], q[0]
+    k = amp2 * m0 + dadd * jnp.eye(m0.shape[-1], dtype=m0.dtype)
+    chol = cholesky(k)
+    w = tri_solve_1rhs(chol, resid)
+    return logdet_from_chol(chol), jnp.dot(w, w)
+
+
+def _shifted_rescaled(m0, amp2, dadd, resid):
+    """Fused-kernel evaluation of the joint-move form via the shift
+    trick: chol(amp2·(M + diag(dadd/amp2))) = √amp2·chol(M + d/amp2), so
+    Σ log diag = ld̃ + (N/2)·log amp2 (padded lanes shift by 1/amp2 and
+    absorb exactly the remaining (N−n)/2·log amp2 — see ops/pallas_gp)
+    and rᵀK⁻¹r = q̃/amp2.  Skips the per-evaluation O(N²) assembly."""
+    from spearmint_tpu.ops.pallas_gp import shifted_logdet_q_pallas
+
+    n = m0.shape[-1]
+    ld_t, q_t = shifted_logdet_q_pallas(
+        m0, dadd / amp2[:, None], resid)
+    return ld_t + 0.5 * n * jnp.log(amp2), q_t / amp2
+
+
+@fma_logdet_q.def_vmap
+def _fma_logdet_q_vmap(axis_size, in_batched, m0, amp2, dadd, resid):
+    args = [m0, amp2, dadd, resid]
+    args = [
+        a if b else jnp.broadcast_to(a, (axis_size,) + a.shape)
+        for a, b in zip(args, in_batched)
+    ]
+    m0, amp2, dadd, resid = args
+    if _fused_ok(m0.shape[-1]):
+        ld, q = _shifted_rescaled(m0, amp2, dadd, resid)
+    else:
+        eye = jnp.eye(m0.shape[-1], dtype=m0.dtype)
+        k = amp2[:, None, None] * m0 + dadd[:, :, None] * eye
+        chols = cholesky(k)
+        w = jax.vmap(tri_solve_1rhs)(chols, resid)
+        ld = jax.vmap(logdet_from_chol)(chols)
+        q = jnp.sum(w * w, axis=-1)
+    return (ld, q), (True, True)
+
+
 def masked_min(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.min(jnp.where(mask, x, jnp.inf))
 

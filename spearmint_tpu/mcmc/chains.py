@@ -108,12 +108,12 @@ def _marginal_from_unit_cov(m0, y, mask, mean, amp2, noise):
     ls-of-the-cache): K = amp2·M + noise·I on the real block, identity on
     the padded block (matching ``linalg.mask_psd_matrix``).
     """
-    eye = jnp.eye(m0.shape[-1], dtype=m0.dtype)
     diag_add = jnp.where(mask, noise, jnp.asarray(1.0, m0.dtype))
-    k = amp2 * m0 + diag_add * eye
     resid = jnp.where(mask, y - mean, 0.0)
-    # fused factor+logdet+solve (see core.likelihood.log_marginal)
-    ld, q = linalg.chol_logdet_q(k, resid)
+    # fused factor+logdet+solve with in-kernel K = amp2·m0 + diag
+    # assembly on TPU (see core.likelihood.log_marginal / linalg)
+    ld, q = linalg.fma_logdet_q(m0, jnp.asarray(amp2, m0.dtype),
+                                diag_add, resid)
     lp = -ld - 0.5 * q
     return jnp.where(jnp.isnan(lp), -jnp.inf, lp)
 

@@ -6,30 +6,40 @@ The slice-sampling hot loop evaluates, per proposal, the GP log-marginal
 
 (core/likelihood.py; reference ``GPEIOptChooser.logprob`` per SURVEY.md
 §3.2).  Round-3 profiling (docs/PROFILE_r3.md) measured the XLA pipeline
-for this at ~93 ms per batched-10 evaluation at N=5120 on v5e: a 63 ms
-batched Cholesky running at 6.6 TF/s — half of it sequential panel
-latency XLA cannot hide — plus a ~21 ms latency-bound single-RHS
-triangular solve.  The r2/r3 per-panel hybrid (ops/pallas_chol.py)
-showed the MXU can hold 15.6 TF/s on the trailing update but lost it
-all to per-panel orchestration (aliased copies, dynamic_update_slice
-round trips, broken fusions).
+for this at ~107 ms per batched-10 evaluation at N=5120 on v5e (host-
+transfer-synced): a batched Cholesky running at 6.6 TF/s — half of it
+sequential panel latency XLA cannot hide — plus a latency-bound
+single-RHS triangular solve.  The r2/r3 per-panel hybrid
+(ops/pallas_chol.py) showed the MXU can hold 15.6 TF/s on the trailing
+update but lost it all to per-panel orchestration (aliased copies,
+dynamic_update_slice round trips, broken fusions).
 
 This kernel does the ENTIRE evaluation in ONE ``pallas_call``:
 
   * right-looking blocked Cholesky over B=512 panels, the O(N³/3)
-    trailing update streamed through VMEM with double-buffered manual
-    DMA (grid is sequential over panels; the matrix lives in HBM as an
-    input→output aliased workspace that is destroyed in place);
-  * the diagonal-block factorization in VMEM with a two-level scheme:
-    serial base-block columns (the irreducible N-column dependency
-    chain, paid on [K, b, b] sub-tiles where it costs ~0.3 µs/column
-    instead of XLA's per-panel kernel-launch latency) producing the
-    base factor AND its inverse in the same loop (elementary-factor
-    accumulation: L = (Π_j E_j)·D ⇒ L⁻¹ = D⁻¹·Π_j E_j⁻¹ applied to I);
+    trailing update streamed through VMEM with multi-buffered manual
+    DMA (grid is sequential over panels; the matrix lives in HBM as a
+    workspace destroyed in place);
+  * the diagonal-block factorization in VMEM: serial base-block columns
+    (the irreducible N-column dependency chain, paid on [K, b, b]
+    sub-tiles at ~2 vector passes per column — the column store is
+    fused into the rank-1 update) plus base inverses via nilpotent
+    repeated squaring on the MXU (L⁻¹ = D⁻¹·Σ(−S)^k, exactly
+    log₂ b doublings — no second substitution pass);
   * the RHS solved DURING factorization (w ← L⁻¹r interleaved with the
     panel sweep), so the latency-bound standalone trisolve disappears;
   * only the two scalars the sampler needs — Σ log diag(L) and ‖w‖² —
     leave the chip.
+
+Two assembly modes:
+
+  * ``logdet_q_pallas(K, r)`` — takes the assembled covariance; the
+    input buffer is aliased and destroyed.
+  * ``fma_logdet_q_pallas(M, amp2, dadd, r)`` — the joint-move form
+    K = amp2·M + diag(dadd) assembled IN-KERNEL on first touch of each
+    tile (mcmc/chains._marginal_from_unit_cov): M is read-only (it is
+    reused across the move's slice evaluations), and the O(N²) XLA
+    assembly pass + 1 GB materialize/reload per evaluation disappears.
 
 A failed factorization (non-PSD proposal) yields NaN through the sqrt,
 which propagates to both outputs; callers map NaN → −inf exactly as the
@@ -37,12 +47,12 @@ XLA path does.  Padded identity rows/cols (linalg.mask_psd_matrix)
 factor to unit diagonal entries and zero residuals, contributing 0 to
 both outputs, so masking semantics are unchanged.
 
-Numerics: all MXU contractions run at ``Precision.HIGHEST`` (f32
-accumulation, 6-pass bf16 decomposition — same class XLA's own
-Cholesky uses); agreement with the XLA path is ~1e-5 relative on the
-log-marginal at N=5120 (tested).
+Numerics: all MXU contractions run at ``Precision.HIGHEST`` (6-pass
+bf16 = full f32; Mosaic's DEFAULT measured 2e-3 relative on the
+log-determinant at N=5120 — far too coarse for the sampler, while
+HIGHEST agrees with XLA to ~1e-7).
 
-Off-TPU the kernel runs in the Pallas interpreter, so CPU tests
+Off-TPU the kernel runs in the Pallas TPU interpreter, so CPU tests
 exercise the same code at small N; the production dispatch
 (linalg.chol_logdet_q) only routes to it on real TPU backends.
 """
@@ -59,21 +69,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 # Panel width of the outer blocked factorization.  512 balances DMA
 # traffic (total ≈ 2·4·K·N³/(3B) bytes; ~7 GB at N=5120, K=10 → ~9 ms
-# at v5e HBM bandwidth, hidden under the MXU trailing update) against
-# VMEM residency (six double-buffered [K, B, B] tiles = 60 MB at K=10).
+# at v5e HBM bandwidth, mostly hidden under the MXU trailing update)
+# against VMEM residency (nine [K, B, B] tile buffers = 90 MB at K=10).
 BLOCK = 512
 # Base width of the serial column sweep inside a diagonal block.  The
 # N-column dependency chain is irreducible; b only sets the per-column
-# VPU cost ([K, b, b] rank-1 updates) vs the amount of MXU glue.
-SUB = 64
-# Largest chain batch factored in one kernel call (VMEM: 6·K·B²·4 bytes
-# of tile slots + 2·K·B² of diag scratch ≈ 8·K MB).  Callers chunk.
+# VPU cost ([K, b, b] passes) vs vector-lane utilization.
+SUB = 128
+# Largest chain batch factored in one kernel call (VMEM: ~9·K MB of
+# tile buffers).  Callers chunk.
 MAX_BATCH = 10
 
-# MXU precision for the O(N³) contractions.  "highest" = 6-pass bf16
-# (full f32); "high" = 3-pass (~21-bit mantissa products, measured
-# ~1e-6 relative on the log-marginal at N=5120 — well inside what slice
-# sampling can see).  Static per-trace.
+# MXU precision.  Only "highest" preserves sampler-grade accuracy (see
+# module docstring); exposed for experiments.
 PRECISION = "highest"
 
 
@@ -99,45 +107,68 @@ def _tri_decode(t):
 
 
 def _factor_base(a):
-    """Serial Cholesky of a [K, b, b] SPD value, with simultaneous inverse.
+    """Serial Cholesky of a [K, b, b] SPD value.
 
-    Returns (L, L⁻¹, d) where d is the [K, b] vector of diagonal pivots.
-    The inverse rides the same column loop: with E_j the elementary
-    lower-triangular factor whose j-th column is l_j/d_j, L = (Π_j E_j)·D,
-    so accumulating W ← E_j⁻¹·W from W=I and scaling rows by 1/d gives
-    L⁻¹ with no second substitution pass.
+    Returns (L, d): d the [K, b] diagonal pivots.  Two [K, b, b] vector
+    passes per column: the column extraction, and one fused FMA that
+    both applies the rank-1 trailing update and stores the finished
+    column (A += l ⊗ (e_j − l) zeroes column j of the remainder and
+    writes l there in the same pass, so A ends as exactly L).
     """
-    k_batch, b, _ = a.shape
     dtype = a.dtype
+    b = a.shape[-1]
+    k_batch = a.shape[0]
     lanes = lax.broadcasted_iota(jnp.int32, (1, b), 1)          # [1, b]
 
-    def body(j, carry):
-        a, lmat, w, dvec = carry
+    unroll = 4  # Mosaic's fori only unrolls fully; unroll by hand
+
+    def one_col(j, a, dvec):
         onev = (lanes == j).astype(dtype)                       # [1, b]
         below = (lanes >= j).astype(dtype)
-        # column j of the updated matrix
-        col = jnp.sum(a * onev[:, None, :], axis=2)             # [K, b]
-        d2 = jnp.sum(col * onev, axis=1)                        # [K]
+        # dynamic lane rotate + static lane-0 slice — one vector pass,
+        # vs a masked multiply + cross-lane reduction per column
+        col = pltpu.roll(a, -j, axis=2)[:, :, 0]                # [K, b]
+        d2 = pltpu.roll(col, -j, axis=1)[:, 0]                  # [K]
         inv_d = lax.rsqrt(d2)
         d = d2 * inv_d                                          # sqrt(d2)
         l = col * inv_d[:, None] * below                        # [K, b]
-        a = a - l[:, :, None] * l[:, None, :]
-        lmat = lmat + l[:, :, None] * onev[:, None, :]
-        # inverse accumulation: W ← (I − (l/d − e_j) e_jᵀ) W
-        u = l * inv_d[:, None] - onev
-        wrow = jnp.sum(w * onev[:, :, None], axis=1)            # [K, b]
-        w = w - u[:, :, None] * wrow[:, None, :]
+        a = a + l[:, :, None] * (onev - l)[:, None, :]
         dvec = dvec + d[:, None] * onev
-        return a, lmat, w, dvec
+        return a, dvec
 
-    eye = (lax.broadcasted_iota(jnp.int32, (b, b), 0)
-           == lax.broadcasted_iota(jnp.int32, (b, b), 1)).astype(dtype)
-    zeros = jnp.zeros_like(a)
-    init = (a, zeros, jnp.broadcast_to(eye, a.shape), jnp.zeros((k_batch, b), dtype))
-    _, lmat, w, dvec = lax.fori_loop(0, b, body, init)
-    inv_dvec = 1.0 / dvec
-    linv = w * inv_dvec[:, :, None]
-    return lmat, linv, dvec
+    def body(t, carry):
+        a, dvec = carry
+        for u in range(unroll):
+            a, dvec = one_col(t * unroll + u, a, dvec)
+        return a, dvec
+
+    init = (a, jnp.zeros((k_batch, b), dtype))
+    lmat, dvec = lax.fori_loop(0, b // unroll, body, init)
+    return lmat, dvec
+
+
+def _tri_inv_sq(lmat, dvec, prec):
+    """[K, b, b] lower-triangular inverse by nilpotent repeated squaring.
+
+    L = (I + S)·D with S = strict(L)·D⁻¹ strictly lower (nilpotent of
+    index b), so (I + S)⁻¹ = Σ_{k<b} (−S)^k, accumulated in log₂ b
+    doublings of MXU GEMMs: Y ← Y(I + P), P ← P² with P starting at −S.
+    Replaces a second b-step serial substitution loop.
+    """
+    b = lmat.shape[-1]
+    dtype = lmat.dtype
+    rows = lax.broadcasted_iota(jnp.int32, (b, b), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (b, b), 1)
+    strict = (rows > cols).astype(dtype)
+    eye = (rows == cols).astype(dtype)
+    inv_d = 1.0 / dvec
+    neg_s = -(lmat * strict) * inv_d[:, None, :]                # −S
+    y = eye + neg_s                                             # Σ_{k<2}
+    p = neg_s
+    for _ in range(max(0, b.bit_length() - 2)):                 # log₂b − 1
+        p = _dot(p, p, ((2,), (1,)), prec=prec)
+        y = y + _dot(y, p, ((2,), (1,)), prec=prec)             # Y(I+P)
+    return y * inv_d[:, :, None]                                # D⁻¹·Y
 
 
 def _factor_diag(dblk, linv, ldacc, block, sub, prec):
@@ -149,12 +180,13 @@ def _factor_diag(dblk, linv, ldacc, block, sub, prec):
     for s in range(n_sub):
         off = s * sub
         a_s = dblk[:, off:off + sub, off:off + sub]
-        l_s, li_s, dvec = _factor_base(a_s)
+        l_s, dvec = _factor_base(a_s)
         dblk[:, off:off + sub, off:off + sub] = l_s
-        linv[:, off:off + sub, off:off + sub] = li_s
-        ldacc[:, :] += jnp.log(dvec)
+        linv[:, off:off + sub, off:off + sub] = _tri_inv_sq(l_s, dvec, prec)
+        ldacc[:, :sub] += jnp.log(dvec)
         rs = block - (off + sub)
         if rs > 0:
+            li_s = linv[:, off:off + sub, off:off + sub]
             a21 = dblk[:, off + sub:, off:off + sub]            # [K, rs, b]
             l21 = _dot(a21, li_s, ((2,), (2,)), prec=prec)
             dblk[:, off + sub:, off:off + sub] = l21
@@ -169,19 +201,46 @@ def _factor_diag(dblk, linv, ldacc, block, sub, prec):
         xtl = linv[:, 0:off, 0:off]
         tmp = _dot(lstrip, xtl, ((2,), (1,)), prec=prec)
         ltt_inv = linv[:, off:off + sub, off:off + sub]
-        linv[:, off:off + sub, 0:off] = -_dot(ltt_inv, tmp, ((2,), (1,)), prec=prec)
+        linv[:, off:off + sub, 0:off] = -_dot(
+            ltt_inv, tmp, ((2,), (1,)), prec=prec)
 
 
-def _make_kernel(nb, block, sub, prec):
-    """Build the kernel body for an N = nb·block matrix."""
+def _diag_tile(dadd, roff, blk):
+    """diag(dadd[roff:roff+blk]) as a [K, blk, blk] tile."""
+    rr = lax.broadcasted_iota(jnp.int32, (blk, blk), 0)
+    cc = lax.broadcasted_iota(jnp.int32, (blk, blk), 1)
+    dv = dadd[:, pl.ds(roff, blk)]
+    return jnp.where((rr == cc)[None], dv[:, :, None], 0.0)
 
-    def kernel(a_hbm, r_ref, out_ref, ws, dblk, linv, slots, wvec,
-               qacc, ldacc, dsem, lsems, ssems):
+
+def _make_kernel(nb, block, sub, prec, shift, debug_skip=""):
+    """Build the kernel body for an N = nb·block matrix.
+
+    Args: (a_hbm[, dshift], r) with a aliased to the ws output.  With
+    ``shift`` the kernel factors A + diag(dshift) — the diagonal vector
+    is added to each diagonal tile right after its DMA, which is all
+    the joint-move form K = amp2·(M + diag(dadd/amp2)) needs: the
+    caller rescales the two outputs by amp2 analytically
+    (linalg.fma_logdet_q), so the O(N²) assembly pass disappears
+    without touching any off-diagonal tile.
+    """
+
+    def kernel(*refs):
+        if shift:
+            (a_hbm, dshift, r_ref, out_ref, ws,
+             dblk, linv, aslots, lslots, wvec, qacc, ldacc,
+             dsem, asems, assems, lsems, psems) = refs
+        else:
+            (a_hbm, r_ref, out_ref, ws,
+             dblk, linv, aslots, lslots, wvec, qacc, ldacc,
+             dsem, asems, assems, lsems, psems) = refs
         del a_hbm  # aliased to ws; all access goes through ws
+
         k = pl.program_id(0)
         row0 = k * block
+        first = k == 0
 
-        @pl.when(k == 0)
+        @pl.when(first)
         def _():
             wvec[:] = r_ref[:]
             qacc[:] = jnp.zeros_like(qacc)
@@ -189,59 +248,69 @@ def _make_kernel(nb, block, sub, prec):
 
         # ---- diagonal block: DMA in, factor in VMEM -------------------
         ld_diag = pltpu.make_async_copy(
-            ws.at[:, pl.ds(row0, block), pl.ds(row0, block)], dblk, dsem)
+            ws.at[:, pl.ds(row0, block), pl.ds(row0, block)],
+            dblk, dsem)
         ld_diag.start()
         ld_diag.wait()
+        if shift:
+            dblk[:, :, :] = dblk[:, :, :] + _diag_tile(dshift, row0, block)
+
         linv[:] = jnp.zeros_like(linv)
         _factor_diag(dblk, linv, ldacc, block, sub, prec)
         # (L_kk itself is never re-read — ws keeps the unfactored diag
         # tile; ws is a destroyed workspace, not a valid Cholesky factor.)
 
         # ---- solve this panel's RHS chunk: w_k ← L_kk⁻¹ w_k -----------
-        wk = _dot(linv[:, :, :], wvec[:, pl.ds(row0, block)], ((2,), (1,)), prec=prec)
+        wk = _dot(linv[:, :, :], wvec[:, pl.ds(row0, block)], ((2,), (1,)),
+                  prec=prec)
         wvec[:, pl.ds(row0, block)] = wk
         qacc[:, :] += wk * wk
 
         # ---- panel phase: L_ik = A_ik L_kk⁻ᵀ, w_i −= L_ik w_k ---------
-        m = nb - 1 - k  # trailing tiles per side (traced)
+        m = jnp.asarray(0, jnp.int32) if debug_skip == "diag_only" else (
+            nb - 1 - k)
 
-        def p_src(i):
-            return ws.at[:, pl.ds(row0 + (i + 1) * block, block),
-                         pl.ds(row0, block)]
+        def p_row(i):
+            return row0 + (i + 1) * block
+
+        def p_src_ws(i):
+            return ws.at[:, pl.ds(p_row(i), block), pl.ds(row0, block)]
 
         def p_load(i):
-            sl = i % 2
-            return pltpu.make_async_copy(p_src(i), slots.at[sl, 0],
-                                         lsems.at[sl, 0])
+            return pltpu.make_async_copy(p_src_ws(i), aslots.at[i % 3],
+                                         asems.at[i % 3])
+
+        def p_start(i):
+            p_load(i).start()
 
         def p_store(i):
-            sl = i % 2
-            return pltpu.make_async_copy(slots.at[sl, 1], p_src(i),
-                                         ssems.at[sl])
+            return pltpu.make_async_copy(lslots.at[i % 2, 0], p_src_ws(i),
+                                         psems.at[i % 2])
 
         @pl.when(m > 0)
         def _():
-            p_load(jnp.asarray(0, jnp.int32)).start()
+            p_start(jnp.asarray(0, jnp.int32))
 
         def p_body(i, _):
-            sl = i % 2
+            sl = i % 3
 
             @pl.when(i + 1 < m)
             def _():
-                p_load(i + 1).start()
+                p_start(i + 1)
 
             p_load(i).wait()
-            lik = _dot(slots[sl, 0], linv[:, :, :], ((2,), (2,)), prec=prec)
+            lik = _dot(aslots[sl], linv[:, :, :], ((2,), (2,)), prec=prec)
             # wait the store that last used this slot's out buffer
             @pl.when(i >= 2)
             def _():
                 p_store(i - 2).wait()
 
-            slots[sl, 1] = lik
+            lslots[i % 2, 0] = lik
             p_store(i).start()
-            ro = row0 + (i + 1) * block
+            ro = p_row(i)
             wvec[:, pl.ds(ro, block)] = (
-                wvec[:, pl.ds(ro, block)] - _dot(lik, wk, ((2,), (1,)), prec=prec))
+                wvec[:, pl.ds(ro, block)]
+                - _dot(lik, wk, ((2,), (1,)), prec=prec))
             return 0
 
         lax.fori_loop(0, m, p_body, 0)
@@ -255,35 +324,40 @@ def _make_kernel(nb, block, sub, prec):
             p_store(m - 1).wait()
 
         # ---- trailing phase: A_ij −= L_ik L_jkᵀ over the lower tri ----
-        ntri = m * (m + 1) // 2
+        ntri = (jnp.asarray(0, jnp.int32) if debug_skip == "no_trailing"
+                else m * (m + 1) // 2)
         off1 = row0 + block  # trailing origin in elements
 
-        def t_tiles(t):
+        def t_a_ws(t):
             i, j = _tri_decode(t)
-            a_sl = ws.at[:, pl.ds(off1 + i * block, block),
+            return ws.at[:, pl.ds(off1 + i * block, block),
                          pl.ds(off1 + j * block, block)]
-            li_sl = ws.at[:, pl.ds(off1 + i * block, block),
-                          pl.ds(row0, block)]
-            lj_sl = ws.at[:, pl.ds(off1 + j * block, block),
-                          pl.ds(row0, block)]
-            return a_sl, li_sl, lj_sl
 
-        def t_load(t):
+        def t_load_a(t):
+            return pltpu.make_async_copy(t_a_ws(t), aslots.at[t % 3],
+                                         asems.at[t % 3])
+
+        def t_load_l(t):
+            i, j = _tri_decode(t)
             sl = t % 2
-            a_sl, li_sl, lj_sl = t_tiles(t)
             return (
-                pltpu.make_async_copy(a_sl, slots.at[sl, 0], lsems.at[sl, 0]),
-                pltpu.make_async_copy(li_sl, slots.at[sl, 1], lsems.at[sl, 1]),
-                pltpu.make_async_copy(lj_sl, slots.at[sl, 2], lsems.at[sl, 2]),
+                pltpu.make_async_copy(
+                    ws.at[:, pl.ds(off1 + i * block, block),
+                          pl.ds(row0, block)],
+                    lslots.at[sl, 0], lsems.at[sl, 0]),
+                pltpu.make_async_copy(
+                    ws.at[:, pl.ds(off1 + j * block, block),
+                          pl.ds(row0, block)],
+                    lslots.at[sl, 1], lsems.at[sl, 1]),
             )
 
         def t_store(t):
-            sl = t % 2
-            a_sl, _, _ = t_tiles(t)
-            return pltpu.make_async_copy(slots.at[sl, 0], a_sl, ssems.at[sl])
+            return pltpu.make_async_copy(aslots.at[t % 3], t_a_ws(t),
+                                         assems.at[t % 3])
 
         def t_start(t):
-            for dma in t_load(t):
+            t_load_a(t).start()
+            for dma in t_load_l(t):
                 dma.start()
 
         @pl.when(ntri > 0)
@@ -291,27 +365,33 @@ def _make_kernel(nb, block, sub, prec):
             t_start(jnp.asarray(0, jnp.int32))
 
         def t_body(t, _):
-            sl = t % 2
-            # the store that last used slot (t+1)%2's A buffer was t−1;
-            # it must land before load t+1 overwrites that buffer
-            @pl.when(t >= 1)
+            sl = t % 3
+            # the store that last used A slot (t+1)%3 was t−2; it must
+            # land before load t+1 overwrites that buffer (2 iterations
+            # old — usually already complete, unlike a t−1 wait)
+            @pl.when(t >= 2)
             def _():
-                t_store(t - 1).wait()
+                t_store(t - 2).wait()
 
             @pl.when(t + 1 < ntri)
             def _():
                 t_start(t + 1)
 
-            for dma in t_load(t):
+            t_load_a(t).wait()
+            for dma in t_load_l(t):
                 dma.wait()
-            upd = slots[sl, 0] - _dot(slots[sl, 1], slots[sl, 2],
-                                      ((2,), (2,)), prec=prec)
-            slots[sl, 0] = upd
+            lsl = t % 2
+            aslots[sl] = aslots[sl] - _dot(
+                lslots[lsl, 0], lslots[lsl, 1], ((2,), (2,)), prec=prec)
             t_store(t).start()
             return 0
 
         lax.fori_loop(0, ntri, t_body, 0)
-        # drain the final trailing store before the next panel's reads
+        # drain the final trailing stores before the next panel's reads
+        @pl.when(ntri >= 2)
+        def _():
+            t_store(ntri - 2).wait()
+
         @pl.when(ntri >= 1)
         def _():
             t_store(ntri - 1).wait()
@@ -326,19 +406,19 @@ def _make_kernel(nb, block, sub, prec):
     return kernel
 
 
-@functools.partial(
-    jax.jit, static_argnames=("block", "sub", "interpret", "prec"))
-def _logdet_q_call(kmat, resid, block, sub, interpret, prec=None):
+def _call(kmat, extra_inputs, resid, block, sub, interpret, prec,
+          shift, debug_skip):
     k_batch, n, _ = kmat.shape
     nb = n // block
-    kernel = _make_kernel(nb, block, sub, prec or PRECISION)
+    kernel = _make_kernel(nb, block, sub, prec or PRECISION, shift,
+                          debug_skip)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * (
+        len(extra_inputs) + 1)
     out, _ = pl.pallas_call(
         kernel,
         grid=(nb,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -351,27 +431,48 @@ def _logdet_q_call(kmat, resid, block, sub, interpret, prec=None):
         scratch_shapes=[
             pltpu.VMEM((k_batch, block, block), jnp.float32),   # dblk
             pltpu.VMEM((k_batch, block, block), jnp.float32),   # linv
-            pltpu.VMEM((2, 3, k_batch, block, block), jnp.float32),  # slots
+            pltpu.VMEM((3, k_batch, block, block), jnp.float32),   # aslots
+            pltpu.VMEM((2, 2, k_batch, block, block), jnp.float32),  # lslots
             pltpu.VMEM((k_batch, n), jnp.float32),              # w
             pltpu.VMEM((k_batch, block), jnp.float32),          # qacc
-            pltpu.VMEM((k_batch, sub), jnp.float32),            # ldacc
+            pltpu.VMEM((k_batch, block), jnp.float32),          # ldacc
             pltpu.SemaphoreType.DMA(()),                        # diag
-            pltpu.SemaphoreType.DMA((2, 3)),                    # loads
-            pltpu.SemaphoreType.DMA((2,)),                      # stores
+            pltpu.SemaphoreType.DMA((3,)),                      # A loads
+            pltpu.SemaphoreType.DMA((3,)),                      # A stores
+            pltpu.SemaphoreType.DMA((2, 2)),                    # L loads
+            pltpu.SemaphoreType.DMA((2,)),                      # panel st
         ],
         interpret=(pltpu.InterpretParams(dma_execution_mode="eager")
                    if interpret else False),
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=120 * 1024 * 1024,
+            vmem_limit_bytes=127 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * k_batch * n**3 // 3,
             bytes_accessed=4 * k_batch * n * n * 4,
             transcendentals=k_batch * n,
         ),
-    )(kmat, resid)
+    )(kmat, *extra_inputs, resid)
     return out[:, 0], out[:, 1]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block", "sub", "interpret", "prec", "debug_skip"))
+def _logdet_q_call(kmat, resid, block, sub, interpret, prec=None,
+                   debug_skip=""):
+    return _call(kmat, (), resid, block, sub, interpret, prec, False,
+                 debug_skip)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block", "sub", "interpret", "prec", "debug_skip"))
+def _shifted_logdet_q_call(kmat, dshift, resid, block, sub, interpret,
+                           prec=None, debug_skip=""):
+    return _call(kmat, (dshift,), resid, block, sub, interpret, prec,
+                 True, debug_skip)
 
 
 def supported(n: int, on_tpu: bool | None = None) -> bool:
@@ -381,6 +482,24 @@ def supported(n: int, on_tpu: bool | None = None) -> bool:
     return on_tpu and n % BLOCK == 0 and n >= 2 * BLOCK
 
 
+def _chunked(fn, batch_args, k_batch, pad_args):
+    """Run ``fn`` over MAX_BATCH-sized chunks of the leading axis.
+
+    pad_args supply one identity-problem element per argument so padded
+    lanes factor I (finite, discarded)."""
+    nchunk = -(-k_batch // MAX_BATCH)
+    pad = nchunk * MAX_BATCH - k_batch
+    if pad:
+        batch_args = [
+            jnp.concatenate([a, jnp.broadcast_to(p, (pad,) + a.shape[1:])])
+            for a, p in zip(batch_args, pad_args)
+        ]
+    shaped = [a.reshape((nchunk, MAX_BATCH) + a.shape[1:])
+              for a in batch_args]
+    ld, q = lax.map(lambda ab: fn(*ab), tuple(shaped))
+    return ld.reshape(-1)[:k_batch], q.reshape(-1)[:k_batch]
+
+
 def logdet_q_pallas(
     kmat: jnp.ndarray,
     resid: jnp.ndarray,
@@ -388,6 +507,7 @@ def logdet_q_pallas(
     sub: int = SUB,
     interpret: bool | None = None,
     prec: str | None = None,
+    debug_skip: str = "",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(Σ log diag chol(K), ‖chol(K)⁻¹ r‖²) for a batch of PSD matrices.
 
@@ -399,20 +519,52 @@ def logdet_q_pallas(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     k_batch = kmat.shape[0]
+
+    def call(k, r):
+        return _logdet_q_call(k, r, block, sub, interpret, prec,
+                              debug_skip)
+
     if k_batch > MAX_BATCH:
-        nchunk = -(-k_batch // MAX_BATCH)
-        pad = nchunk * MAX_BATCH - k_batch
-        if pad:
-            eye = jnp.eye(kmat.shape[-1], dtype=kmat.dtype)
-            kmat = jnp.concatenate(
-                [kmat, jnp.broadcast_to(eye, (pad,) + kmat.shape[1:])])
-            resid = jnp.concatenate(
-                [resid, jnp.zeros((pad,) + resid.shape[1:], resid.dtype)])
-        km = kmat.reshape((nchunk, MAX_BATCH) + kmat.shape[1:])
-        rs = resid.reshape((nchunk, MAX_BATCH) + resid.shape[1:])
-        ld, q = lax.map(
-            lambda ab: _logdet_q_call(ab[0], ab[1], block, sub, interpret,
-                                      prec),
-            (km, rs))
-        return ld.reshape(-1)[:k_batch], q.reshape(-1)[:k_batch]
-    return _logdet_q_call(kmat, resid, block, sub, interpret, prec)
+        eye = jnp.eye(kmat.shape[-1], dtype=kmat.dtype)
+        zero = jnp.zeros(resid.shape[1:], resid.dtype)
+        return _chunked(call, [kmat, resid], k_batch, [eye, zero])
+    return call(kmat, resid)
+
+
+def shifted_logdet_q_pallas(
+    m0: jnp.ndarray,
+    dshift: jnp.ndarray,
+    resid: jnp.ndarray,
+    block: int = BLOCK,
+    sub: int = SUB,
+    interpret: bool | None = None,
+    prec: str | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Diagonal-shifted form: factor m0 + diag(dshift).
+
+    The joint slice move evaluates K = amp2·M + diag(dadd) ~10× per
+    move against the SAME unit covariance M.  Since
+    chol(amp2·(M + diag(dadd/amp2))) = √amp2 · chol(M + diag(dadd/amp2)),
+    the caller can factor the SHIFTED unit matrix and rescale the two
+    outputs analytically (linalg.fma_logdet_q) — no O(N²) assembly pass,
+    no off-diagonal traffic beyond the factorization's own.  The shift
+    is applied to each diagonal tile in-kernel right after its DMA.
+
+    m0: [K, N, N] (destroyed; XLA inserts a copy because the caller's
+    M outlives the move), dshift: [K, N], resid: [K, N].
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    k_batch = m0.shape[0]
+
+    def call(m, d, r):
+        return _shifted_logdet_q_call(m, d, r, block, sub, interpret, prec)
+
+    if k_batch > MAX_BATCH:
+        # padded lanes factor 0 + diag(1) = I: finite, discarded.
+        zmat = jnp.zeros(m0.shape[1:], m0.dtype)
+        done = jnp.ones(dshift.shape[1:], dshift.dtype)
+        zero = jnp.zeros(resid.shape[1:], resid.dtype)
+        return _chunked(call, [m0, dshift, resid], k_batch,
+                        [zmat, done, zero])
+    return call(m0, dshift, resid)

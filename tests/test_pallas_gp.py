@@ -79,6 +79,53 @@ def test_kernel_batch_chunking():
     np.testing.assert_allclose(q, q0, rtol=2e-3, atol=2e-3)
 
 
+def test_shifted_kernel_rescale_matches_assembled_form():
+    """Shift-trick evaluation of K = amp2·m0 + diag(dadd): factoring the
+    shifted unit matrix and rescaling analytically must reproduce the
+    assembled-covariance result, padded rows included."""
+    from spearmint_tpu.ops.pallas_gp import shifted_logdet_q_pallas
+
+    rng = np.random.default_rng(5)
+    k_batch, n, npad = 3, 384, 21
+    feats = rng.standard_normal((k_batch, n, 8)).astype(np.float32)
+    m0 = np.einsum("knd,kmd->knm", feats, feats) / 8
+    m0 += 1e-3 * np.eye(n, dtype=np.float32)
+    mask = np.ones(n, bool)
+    mask[n - npad:] = False
+    both = mask[:, None] & mask[None, :]
+    m0 = np.where(both, m0, 0.0).astype(np.float32)
+    amp2 = rng.uniform(0.5, 2.0, k_batch).astype(np.float32)
+    noise = rng.uniform(0.1, 0.5, k_batch).astype(np.float32)
+    dadd = np.where(mask, noise[:, None], 1.0).astype(np.float32)
+    r = np.where(mask, rng.standard_normal((k_batch, n)), 0.0).astype(
+        np.float32)
+    km = (amp2[:, None, None] * m0
+          + dadd[:, :, None] * np.eye(n, dtype=np.float32))
+    ld_t, q_t = shifted_logdet_q_pallas(
+        jnp.asarray(m0), jnp.asarray(dadd / amp2[:, None]),
+        jnp.asarray(r), block=128, sub=32, interpret=True)
+    ld = np.asarray(ld_t) + 0.5 * n * np.log(amp2)
+    q = np.asarray(q_t) / amp2
+    ld0, q0 = _reference(km, r)
+    np.testing.assert_allclose(ld, ld0, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(q, q0, rtol=2e-3, atol=2e-3)
+
+
+def test_fma_logdet_q_cpu_matches_marginal_form():
+    """linalg.fma_logdet_q off-TPU ≡ assemble-then-chol_logdet_q."""
+    rng = np.random.default_rng(9)
+    n = 192
+    feats = rng.standard_normal((n, 8)).astype(np.float32)
+    m0 = jnp.asarray(feats @ feats.T / 8 + 1e-3 * np.eye(n, dtype=np.float32))
+    amp2 = jnp.asarray(1.3, jnp.float32)
+    dadd = jnp.asarray(np.full(n, 0.2, np.float32))
+    r = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    ld, q = linalg.fma_logdet_q(m0, amp2, dadd, r)
+    k = amp2 * m0 + dadd * jnp.eye(n)
+    ld0, q0 = linalg.chol_logdet_q(k, r)
+    assert float(ld) == float(ld0) and float(q) == float(q0)
+
+
 def test_chol_logdet_q_cpu_path_is_the_old_sequence():
     """Off-TPU the dispatch is bit-identical to chol→trisolve→logdet."""
     km, r = _case(1, 192, seed=3)
