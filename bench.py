@@ -262,13 +262,10 @@ PRESETS = {
     # the 1M-candidate EI sweep (config 5's candidate axis, single chip)
     "sweep1m": dict(n=1000, d=2, chains=10, cands=1_000_000,
                     grid_subset=5, lbfgs_iters=10),
-    # pallas kernel path
-    "pallas": dict(n=5000, d=2, chains=10, cands=2048,
-                   kernel_name="Matern52Pallas"),
 }
 
 # presets whose CPU-golden baseline is feasible to measure in-run
-_BASELINE_OK = {"branin", "hartmann", "pallas", "large", None}
+_BASELINE_OK = {"branin", "hartmann", "large", None}
 
 
 def run_config(preset, n, d, chains, cands, reps, extra, skip_baseline):

@@ -102,14 +102,13 @@ KERNELS = {
 
 
 def get_kernel(name: str):
-    if name == "Matern52Pallas":  # fused TPU kernel, lazy to avoid cycles
-        from spearmint_tpu.ops.pallas_kernels import matern52_pallas_kernelfn
-
-        return matern52_pallas_kernelfn
+    # (A fused Pallas kernel-matrix op ``Matern52Pallas`` shipped in
+    # r1-r3 and was retired in r4: the unrolled small-D assembly below
+    # closed the gap it was built for, and it measured 3.26 s vs 2.16 s
+    # at the flagship config — see docs/PROFILE_r4.md.)
     try:
         return KERNELS[name]
     except KeyError:
         raise ValueError(
-            f"unknown kernel {name!r}; available: "
-            f"{sorted(KERNELS) + ['Matern52Pallas']}"
+            f"unknown kernel {name!r}; available: {sorted(KERNELS)}"
         ) from None

@@ -61,6 +61,26 @@ def cov_matrix(
     return linalg.mask_psd_matrix(k, mask)
 
 
+def unit_cov_matrix(
+    x: jnp.ndarray,
+    mask: jnp.ndarray,
+    ls: jnp.ndarray,
+    kernel: Callable = matern52,
+) -> jnp.ndarray:
+    """M = k(X,X) + jitter·I with padded rows/cols zeroed.
+
+    The amp2/noise-independent part of ``cov_matrix``:
+    K = amp2·M + diag(where(mask, noise, 1)).  The joint slice move
+    caches it across evaluations (mcmc/chains), and ``log_marginal``
+    evaluates through the same M-form so every marginal evaluation on
+    TPU shares one numerical path (the shifted fused kernel)."""
+    n = x.shape[0]
+    eye = jnp.eye(n, dtype=x.dtype)
+    both = mask[:, None] & mask[None, :]
+    return jnp.where(both, kernel(x, x, ls) + _effective_jitter(n) * eye,
+                     0.0)
+
+
 def cross_cov(
     x1: jnp.ndarray,
     x2: jnp.ndarray,
@@ -80,14 +100,20 @@ def log_marginal(
     kernel: Callable = matern52,
 ) -> jnp.ndarray:
     """Reference GP log-marginal (sans 2π constant), masked/jittable."""
-    k = cov_matrix(x, mask, hypers.amp2, hypers.noise, hypers.ls, kernel)
+    m0 = unit_cov_matrix(x, mask, hypers.ls, kernel)
+    dadd = jnp.where(mask, hypers.noise, jnp.asarray(1.0, x.dtype))
     resid = jnp.where(mask, y - hypers.mean, 0.0)
     # One fused call: rᵀK⁻¹r = ‖L⁻¹r‖² via the in-factorization solve
     # (no standalone latency-bound trisolve), Σ log diag(L) from the
     # same factorization.  On TPU this is a single Pallas kernel
-    # (ops/pallas_gp); off-TPU it is the chol→blocked-trisolve XLA
-    # sequence (linalg.chol_logdet_q).
-    ld, q = linalg.chol_logdet_q(k, resid)
+    # (ops/pallas_gp) evaluated through the SAME shifted form the
+    # joint-move cache uses (K = amp2·M + diag), so the log-marginal
+    # carried across slice moves and re-evaluated inside them is
+    # internally consistent; off-TPU it is the assemble→chol→
+    # blocked-trisolve XLA sequence (linalg.fma_logdet_q fallback),
+    # bit-identical to the reference formula.
+    ld, q = linalg.fma_logdet_q(m0, jnp.asarray(hypers.amp2, x.dtype),
+                                dadd, resid)
     lp = -ld - 0.5 * q
     # A failed (non-PD) factorization yields NaN; slice sampling treats it
     # as −inf, mirroring the reference's hard failure but recoverably.

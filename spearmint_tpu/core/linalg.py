@@ -22,23 +22,16 @@ import os
 import jax
 import jax.numpy as jnp
 
-# Cholesky backend switch: the Pallas blocked kernel (ops/pallas_chol)
-# vs XLA's. Trace-time flag: toggling requires retracing (new jit call).
-_USE_PALLAS_CHOL = os.environ.get("SPEARMINT_TPU_PALLAS_CHOL", "0") == "1"
-
-
-def set_pallas_cholesky(on: bool) -> None:
-    global _USE_PALLAS_CHOL
-    _USE_PALLAS_CHOL = bool(on)
-
-
 def cholesky(k: jnp.ndarray) -> jnp.ndarray:
-    """Lower Cholesky, dispatching to the Pallas blocked kernel when
-    enabled (and shapes tile); otherwise XLA's."""
-    if _USE_PALLAS_CHOL:
-        from spearmint_tpu.ops.pallas_chol import cholesky_pallas
+    """Lower Cholesky (XLA's).
 
-        return cholesky_pallas(k)
+    (A per-panel Pallas/XLA hybrid Cholesky backend shipped env-gated
+    in r2-r3 and was retired in r4: measured net-negative in-sweep
+    twice — r2 >25 min compile, r3 9.97 s vs 2.16 s flagship — and its
+    isolated-MXU advantage is subsumed by the fused whole-evaluation
+    kernel in ops/pallas_gp, which is where standalone factorizations
+    went.  See docs/PROFILE_r4.md.)
+    """
     return jnp.linalg.cholesky(k)
 
 
@@ -196,6 +189,13 @@ _FUSED_LOGDET_Q = os.environ.get("SPEARMINT_TPU_FUSED_CHOL", "1") == "1"
 
 
 def set_fused_logdet_q(on: bool) -> None:
+    """Toggle the fused Pallas backend for chol_logdet_q/fma_logdet_q.
+
+    Trace-time flag: functions already jit-compiled keep whichever path
+    they traced — their cache key does not include this flag — so
+    toggling only affects NEW traces (new shapes/configs, or after
+    ``jax.clear_caches()``).
+    """
     global _FUSED_LOGDET_Q
     _FUSED_LOGDET_Q = bool(on)
 

@@ -93,12 +93,9 @@ def _joint_logprob(vec, x, y, mask, ls, config: MCMCConfig):
 def unit_cov(x, mask, ls, kernel):
     """M = k(X,X) + jitter·I with padded entries zeroed (the joint-move
     covariance cache: K(amp2, noise) = amp2·M + diag(noise or 1))."""
-    from spearmint_tpu.core.likelihood import _effective_jitter
+    from spearmint_tpu.core.likelihood import unit_cov_matrix
 
-    n = x.shape[0]
-    eye = jnp.eye(n, dtype=x.dtype)
-    both = mask[:, None] & mask[None, :]
-    return jnp.where(both, kernel(x, x, ls) + _effective_jitter(n) * eye, 0.0)
+    return unit_cov_matrix(x, mask, ls, kernel)
 
 
 def _marginal_from_unit_cov(m0, y, mask, mean, amp2, noise):

@@ -9,8 +9,8 @@ The slice-sampling hot loop evaluates, per proposal, the GP log-marginal
 for this at ~107 ms per batched-10 evaluation at N=5120 on v5e (host-
 transfer-synced): a batched Cholesky running at 6.6 TF/s — half of it
 sequential panel latency XLA cannot hide — plus a latency-bound
-single-RHS triangular solve.  The r2/r3 per-panel hybrid
-(ops/pallas_chol.py) showed the MXU can hold 15.6 TF/s on the trailing
+single-RHS triangular solve.  The r2/r3 per-panel Pallas/XLA hybrid
+(retired in r4) showed the MXU can hold 15.6 TF/s on the trailing
 update but lost it all to per-panel orchestration (aliased copies,
 dynamic_update_slice round trips, broken fusions).
 
@@ -95,8 +95,7 @@ def _dot(a, b, contract, batch=((0,), (0,)), prec=None):
 
 def _tri_decode(t):
     """Linear index t → (i, j) in the lower triangle, row-major:
-    t = i(i+1)/2 + j with j ≤ i.  f32 sqrt seed + exact integer fixup
-    (same scheme as ops/pallas_chol)."""
+    t = i(i+1)/2 + j with j ≤ i.  f32 sqrt seed + exact integer fixup."""
     i = ((jnp.sqrt(8.0 * t.astype(jnp.float32) + 1.0) - 1.0) / 2.0).astype(
         jnp.int32
     )
@@ -165,7 +164,12 @@ def _tri_inv_sq(lmat, dvec, prec):
     neg_s = -(lmat * strict) * inv_d[:, None, :]                # −S
     y = eye + neg_s                                             # Σ_{k<2}
     p = neg_s
-    for _ in range(max(0, b.bit_length() - 2)):                 # log₂b − 1
+    # After t doublings the series covers orders < 2^(t+1); S is
+    # nilpotent of index b, so we need 2^(t+1) ≥ b — ⌈log₂ b⌉ − 1
+    # doublings (NOT bit_length−2, which under-counts for non-power-of-
+    # two b and would silently truncate the inverse).
+    iters = max(0, (b - 1).bit_length() - 1)
+    for _ in range(iters):
         p = _dot(p, p, ((2,), (1,)), prec=prec)
         y = y + _dot(y, p, ((2,), (1,)), prec=prec)             # Y(I+P)
     return y * inv_d[:, :, None]                                # D⁻¹·Y
@@ -409,10 +413,19 @@ def _make_kernel(nb, block, sub, prec, shift, debug_skip=""):
 def _call(kmat, extra_inputs, resid, block, sub, interpret, prec,
           shift, debug_skip):
     k_batch, n, _ = kmat.shape
+    # Shape preconditions (tracing-time; violating any silently corrupts
+    # the factorization rather than erroring inside Mosaic):
+    if n % block != 0 or n < 2 * block:
+        raise ValueError(f"n={n} must be a multiple of block={block}, ≥2×")
+    if block % sub != 0:
+        raise ValueError(f"block={block} must be a multiple of sub={sub}")
+    if sub % 4 != 0:
+        raise ValueError(f"sub={sub} must be a multiple of the column "
+                         "unroll (4)")
     nb = n // block
     kernel = _make_kernel(nb, block, sub, prec or PRECISION, shift,
                           debug_skip)
-    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * (
         len(extra_inputs) + 1)
     out, _ = pl.pallas_call(
@@ -421,7 +434,7 @@ def _call(kmat, extra_inputs, resid, block, sub, interpret, prec,
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((k_batch, 2), jnp.float32),
