@@ -111,19 +111,13 @@ def main():
             return slice_sample(kk, vec0, lp, compwise=False)
         return jax.vmap(one)(jax.random.split(k, CHAINS), h)
 
-    @jax.jit
-    def joint_cached(k, h):
-        def one(kk, hh):
-            vec0 = jnp.stack([hh.mean, hh.amp2, hh.noise])
-            m0 = chains_mod.unit_cov(xj, mj, hh.ls, mcfg.kernel)
-            lp = lambda v: chains_mod._joint_logprob_cached(v, m0, yj, mj,
-                                                            mcfg)
-            return slice_sample(kk, vec0, lp, compwise=False)
-        return jax.vmap(one)(jax.random.split(k, CHAINS), h)
-
-    # (r2's spectral joint-move variant was profiled here and removed:
-    # 22.7 s vs 1.13 s cached — batched eigh costs 21.35 s at this
-    # shape, 340× the Cholesky.  docs/PROFILE_r3.md records the run.)
+    # (Two retired joint-move variants were profiled here and removed:
+    # r2's spectral cache — 22.7 s vs 1.13 s, batched eigh costs 21.35 s
+    # at this shape, 340× the Cholesky (docs/PROFILE_r3.md) — and r2's
+    # m0 covariance cache — 0.592 s vs 0.514 s uncached once
+    # log_marginal itself used the in-kernel shifted assembly, because
+    # the cached M outliving the move forces a ~1 GB XLA copy per
+    # evaluation (docs/PROFILE_r4.md).)
 
     @jax.jit
     def ls_only(k, h):
@@ -133,10 +127,8 @@ def main():
         return jax.vmap(one)(jax.random.split(k, CHAINS), h)
 
     t_joint = bench(joint_only, key, hypers)
-    t_jc = bench(joint_cached, key, hypers)
     t_ls = bench(ls_only, key, hypers)
     print(f"phase_joint_move_s {t_joint:.4f}")
-    print(f"phase_joint_move_cached_s {t_jc:.4f}")
     print(f"phase_ls_move_s {t_ls:.4f}")
 
     # ---------------- phase 2: posterior caches -------------------------
@@ -244,11 +236,61 @@ def main():
     # (micro_eigh10 measured once in r3: 21.35 s — see PROFILE_r3.md;
     # dropped from the default run, it dominates profile wall-time.)
 
-    # eval-count instrumentation: how many logprob evals does one sweep
-    # actually serialize (lockstep max across the vmapped chains)?
-    from spearmint_tpu.mcmc import slice as slice_mod
-    print("# eval counts (host, small-n CPU-free estimate skipped; "
-          "see docs)")
+    # ---------------- fused-kernel parity at production scale -----------
+    # VERDICT r3 missing #2: TPU-scale correctness of ops/pallas_gp must
+    # be a committed artifact.  Every profile run measures the fused
+    # kernel against the XLA sequence at the production lowering
+    # (block=512, sub=128, Mosaic, Precision.HIGHEST) on the full
+    # [CHAINS, pad, pad] flagship shape and prints max rel errs.
+    from spearmint_tpu.ops import pallas_gp
+
+    if pallas_gp.supported(pad):
+        resid = jnp.where(mj, yj, 0.0)
+        residb = jnp.broadcast_to(resid, (CHAINS, pad))
+
+        @jax.jit
+        def xla_ld_q(kb, rb):
+            chols = jnp.linalg.cholesky(kb)
+            w = jax.lax.linalg.triangular_solve(
+                chols, rb[..., None], left_side=True, lower=True)[..., 0]
+            ld = jnp.sum(jnp.log(jnp.diagonal(chols, axis1=-2, axis2=-1)),
+                         axis=-1)
+            return ld, jnp.sum(w * w, axis=-1)
+
+        ld_ref, q_ref = jax.device_get(xla_ld_q(ks, residb))
+
+        def relerr(a, b):
+            a = np.asarray(a); b = np.asarray(b)
+            return float(np.max(np.abs(a - b) / np.maximum(np.abs(b), 1e-9)))
+
+        for prec in ("highest", "high", "default"):
+            t0 = time.perf_counter()
+            ld_f, q_f = pallas_gp.logdet_q_pallas(ks, residb, prec=prec)
+            ld_f, q_f = jax.device_get((ld_f, q_f))
+            # timing: warm rep (first call above pays compile)
+            t_f = bench(lambda: pallas_gp.logdet_q_pallas(ks, residb,
+                                                          prec=prec))
+            print(f"parity_fused_{prec}_relerr_logdet "
+                  f"{relerr(ld_f, ld_ref):.3g}")
+            print(f"parity_fused_{prec}_relerr_q {relerr(q_f, q_ref):.3g}")
+            print(f"micro_fused10_{prec}_s {t_f:.4f}")
+
+        # shifted (joint-move) form parity: K = amp2·M + diag(dadd)
+        from spearmint_tpu.core.likelihood import unit_cov_matrix
+
+        m0 = jax.vmap(lambda l: unit_cov_matrix(xj, mj, l, matern52))(ls_b)
+        amp2 = jnp.full((CHAINS,), 1.7, jnp.float32)
+        dadd = jnp.where(mj, 1e-3, 1.0)[None].repeat(CHAINS, 0)
+        kb2 = amp2[:, None, None] * m0 + jax.vmap(jnp.diag)(dadd)
+        ld_ref2, q_ref2 = jax.device_get(xla_ld_q(kb2, residb))
+        ld_s, q_s = pallas_gp.shifted_logdet_q_pallas(
+            m0, dadd / amp2[:, None], residb)
+        ld_s = np.asarray(ld_s) + 0.5 * pad * np.log(np.asarray(amp2))
+        q_s = np.asarray(q_s) / np.asarray(amp2)
+        print(f"parity_shifted_relerr_logdet {relerr(ld_s, ld_ref2):.3g}")
+        print(f"parity_shifted_relerr_q {relerr(q_s, q_ref2):.3g}")
+    else:
+        print("# fused-kernel parity skipped (backend/shape unsupported)")
 
 
 if __name__ == "__main__":

@@ -154,9 +154,9 @@ class GPEIOptChooser:
         chunk = self.chain_chunk
         if chunk < 0:
             # 2 live [pad, pad] f32 buffers per in-flight chain: the
-            # joint-move covariance cache m0 (mcmc.chains.unit_cov, held
-            # across the whole move since joint_cache defaults on) plus
-            # the per-eval assembled K/chol temp.
+            # per-eval assembled M plus its factorization workspace
+            # (the fused kernel destroys a copy; the XLA path holds
+            # K and chol).
             per_chain = 2 * 4.0 * pad * pad
             c = int(min(self.chains, max(1, 2.5e9 // per_chain)))
             if c >= self.chains:

@@ -255,11 +255,14 @@ def _chol_logdet_q_vmap(axis_size, in_batched, k, resid):
 def fma_logdet_q(m0: jnp.ndarray, amp2: jnp.ndarray, dadd: jnp.ndarray,
                  resid: jnp.ndarray):
     """``chol_logdet_q(amp2·m0 + diag(dadd), resid)`` without the XLA
-    assembly pass: on TPU at supported shapes the fma happens inside the
-    fused kernel as each tile is first touched (the joint slice move
-    re-evaluates this ~10× per move against the SAME m0 — skipping the
-    per-evaluation 1 GB materialize/reload is worth ~20% of the move).
-    m0: (N, N) unit covariance with padded rows/cols zeroed (unit_cov),
+    scaling pass: on TPU at supported shapes the diagonal shift happens
+    inside the fused kernel as each diagonal tile is first touched and
+    the amp2 scale is applied analytically to the two outputs, so XLA
+    only assembles the amp2/noise-independent M — every marginal
+    evaluation (seed, joint move, ls move) routes through this one
+    path (core/likelihood.log_marginal).
+    m0: (N, N) unit covariance with padded rows/cols zeroed
+    (likelihood.unit_cov_matrix),
     amp2: scalar, dadd: (N,) diagonal additions, resid: (N,).
     """
     if _fused_ok(m0.shape[-1]):

@@ -41,18 +41,17 @@ class MCMCConfig(NamedTuple):
     # observation-sharded version (same (x, y, mask, hypers, kernel)
     # signature) so the whole slice-sampling sweep runs distributed.
     marginal: Callable = log_marginal
-    # (A spectral joint-move cache — one eigh per move, O(n) per slice
-    # evaluation — was built in r2 and DELETED in r3 on measurement:
-    # batched eigh at [10, 5120, 5120] takes 21.35 s on v5e vs 0.063 s
-    # for the Cholesky it would amortize, 340× too slow to ever win.
-    # See docs/PROFILE_r3.md.)
-    # Joint-move covariance cache: with ls fixed across the whole joint
-    # move, M = k(X,X)+jitter·I is constant, so each slice evaluation
-    # assembles K = amp2·M + noise·I with one fused fma instead of
-    # recomputing the kernel (the O(n²·D) distance/sqrt/exp assembly is
-    # pure recomputation — VERDICT r1 weak #3).  Numerically identical
-    # to the uncached path.  Applies only with the dense local marginal.
-    joint_cache: bool = True
+    # (Two generations of joint-move covariance caches were built and
+    # DELETED on measurement.  r2's spectral cache — one eigh per move,
+    # O(n) per slice evaluation — died in r3: batched eigh at
+    # [10, 5120, 5120] takes 21.35 s on v5e vs 0.063 s for the Cholesky
+    # it would amortize (docs/PROFILE_r3.md).  r2's m0 cache — assemble
+    # M = k(X,X)+jitter·I once per move, fma per evaluation — died in
+    # r4: once log_marginal itself evaluated through the in-kernel
+    # shifted form, the cache's only remaining effect was forcing a
+    # ~1 GB XLA copy per evaluation (the fused kernel destroys its
+    # input, and the cached M outlives the move), measured 0.59 s vs
+    # 0.51 s for the fresh-assembly joint move (docs/PROFILE_r4.md).)
 
 
 def init_hypers(y: jnp.ndarray, mask: jnp.ndarray, ndim: int) -> GPHypers:
@@ -84,52 +83,6 @@ def _joint_logprob(vec, x, y, mask, ls, config: MCMCConfig):
     lp = config.marginal(
         x, y, mask, GPHypers(mean, amp2_s, noise_s, ls), config.kernel
     )
-    lp = lp + priors.lognormal_amp2_term(amp2_s, config.amp2_scale)
-    if not config.noiseless:
-        lp = lp + priors.horseshoe_logpdf(noise_s, config.noise_scale)
-    return jnp.where(valid, lp, -jnp.inf)
-
-
-def unit_cov(x, mask, ls, kernel):
-    """M = k(X,X) + jitter·I with padded entries zeroed (the joint-move
-    covariance cache: K(amp2, noise) = amp2·M + diag(noise or 1))."""
-    from spearmint_tpu.core.likelihood import unit_cov_matrix
-
-    return unit_cov_matrix(x, mask, ls, kernel)
-
-
-def _marginal_from_unit_cov(m0, y, mask, mean, amp2, noise):
-    """Reference log-marginal from the cached unit covariance.
-
-    Same quantity as ``likelihood.log_marginal`` at (mean, amp2, noise,
-    ls-of-the-cache): K = amp2·M + noise·I on the real block, identity on
-    the padded block (matching ``linalg.mask_psd_matrix``).
-    """
-    diag_add = jnp.where(mask, noise, jnp.asarray(1.0, m0.dtype))
-    resid = jnp.where(mask, y - mean, 0.0)
-    # fused factor+logdet+solve with in-kernel K = amp2·m0 + diag
-    # assembly on TPU (see core.likelihood.log_marginal / linalg)
-    ld, q = linalg.fma_logdet_q(m0, jnp.asarray(amp2, m0.dtype),
-                                diag_add, resid)
-    lp = -ld - 0.5 * q
-    return jnp.where(jnp.isnan(lp), -jnp.inf, lp)
-
-
-def _joint_logprob_cached(vec, m0, y, mask, config: MCMCConfig):
-    """``_joint_logprob`` with the kernel matrix cached across the move."""
-    mean = vec[0]
-    amp2 = vec[1]
-    noise = vec[2] if not config.noiseless else jnp.asarray(
-        priors.DEFAULT_NOISE, vec.dtype
-    )
-    y_min = linalg.masked_min(y, mask)
-    y_max = linalg.masked_max(y, mask)
-    valid = (
-        priors.mean_in_bounds(mean, y_min, y_max) & (amp2 > 0.0) & (noise > 0.0)
-    )
-    amp2_s = jnp.where(amp2 > 0.0, amp2, 1.0)
-    noise_s = jnp.where(noise > 0.0, noise, 1.0)
-    lp = _marginal_from_unit_cov(m0, y, mask, mean, amp2_s, noise_s)
     lp = lp + priors.lognormal_amp2_term(amp2_s, config.amp2_scale)
     if not config.noiseless:
         lp = lp + priors.horseshoe_logpdf(noise_s, config.noise_scale)
@@ -184,14 +137,8 @@ def sample_hypers_lp(
     else:
         vec0 = jnp.stack([hypers.mean, hypers.amp2, hypers.noise])
 
-    if config.joint_cache and config.marginal is log_marginal:
-        m0 = unit_cov(x, mask, hypers.ls, config.kernel)
-
-        def joint_lp(vec):
-            return _joint_logprob_cached(vec, m0, y, mask, config)
-    else:
-        def joint_lp(vec):
-            return _joint_logprob(vec, x, y, mask, hypers.ls, config)
+    def joint_lp(vec):
+        return _joint_logprob(vec, x, y, mask, hypers.ls, config)
 
     lp0_joint = lp_mar + _joint_prior_terms(hypers.amp2, hypers.noise,
                                             config)

@@ -35,11 +35,12 @@ Two assembly modes:
 
   * ``logdet_q_pallas(K, r)`` — takes the assembled covariance; the
     input buffer is aliased and destroyed.
-  * ``fma_logdet_q_pallas(M, amp2, dadd, r)`` — the joint-move form
-    K = amp2·M + diag(dadd) assembled IN-KERNEL on first touch of each
-    tile (mcmc/chains._marginal_from_unit_cov): M is read-only (it is
-    reused across the move's slice evaluations), and the O(N²) XLA
-    assembly pass + 1 GB materialize/reload per evaluation disappears.
+  * ``shifted_logdet_q_pallas(M, dadd/amp2, r)`` — the M-form
+    K = amp2·M + diag(dadd) every marginal evaluation routes through
+    (core/likelihood.log_marginal via linalg.fma_logdet_q): the shift
+    is applied IN-KERNEL on each diagonal tile and the caller rescales
+    the outputs analytically, so the O(N²) XLA pass that scales and
+    re-materializes the full covariance per evaluation disappears.
 
 A failed factorization (non-PSD proposal) yields NaN through the sqrt,
 which propagates to both outputs; callers map NaN → −inf exactly as the

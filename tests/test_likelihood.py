@@ -65,11 +65,12 @@ def test_priors_match_reference_formulas():
     assert not bool(priors.ls_in_bounds(jnp.array([-0.1, 1.0])))
 
 
-def test_joint_cached_marginal_matches_log_marginal(rng):
-    """The joint-move covariance cache (mcmc.chains.unit_cov +
-    _marginal_from_unit_cov) is numerically the plain log_marginal."""
-    from spearmint_tpu.mcmc.chains import _marginal_from_unit_cov, unit_cov
+def test_log_marginal_matches_assembled_factorization(rng):
+    """log_marginal's M-form evaluation (unit_cov_matrix + fma_logdet_q)
+    is numerically the directly assembled chol→solve formula."""
+    from spearmint_tpu.core import linalg
     from spearmint_tpu.core.kernels import matern52
+    from spearmint_tpu.core.likelihood import cov_matrix
 
     n, d, pad = 11, 2, 16
     x = rng.rand(n, d)
@@ -77,40 +78,19 @@ def test_joint_cached_marginal_matches_log_marginal(rng):
     xp, yp, mask = _pad(x, y, pad)
     xj, yj, mj = jnp.array(xp, jnp.float32), jnp.array(yp, jnp.float32), jnp.array(mask)
     ls = jnp.array(np.abs(rng.randn(d)) + 0.5, jnp.float32)
-    m0 = unit_cov(xj, mj, ls, matern52)
     for mean, amp2, noise in [(0.0, 1.0, 1e-3), (0.2, 2.5, 0.05), (-0.3, 0.4, 0.7)]:
-        want = float(log_marginal(
+        got = float(log_marginal(
             xj, yj, mj,
             GPHypers(jnp.float32(mean), jnp.float32(amp2),
                      jnp.float32(noise), ls)))
-        got = float(_marginal_from_unit_cov(
-            m0, yj, mj, jnp.float32(mean), jnp.float32(amp2),
-            jnp.float32(noise)))
+        k = cov_matrix(xj, mj, jnp.float32(amp2), jnp.float32(noise), ls,
+                       matern52)
+        chol = linalg.cholesky(k)
+        resid = jnp.where(mj, yj - mean, 0.0)
+        w = linalg.tri_solve(chol, resid)
+        want = float(-linalg.logdet_from_chol(chol)
+                     - 0.5 * jnp.dot(w, w))
         np.testing.assert_allclose(got, want, rtol=1e-5)
-
-
-def test_sample_hypers_joint_cache_parity(rng):
-    """sample_hypers with joint_cache on/off draws the same samples."""
-    import jax
-
-    from spearmint_tpu.mcmc.chains import MCMCConfig, init_hypers, sample_hypers
-
-    n, d, pad = 20, 3, 32
-    x = rng.rand(n, d)
-    y = np.sin(3 * x[:, 0]) + 0.1 * rng.randn(n)
-    xp, yp, mask = _pad(x, y, pad)
-    xj, yj, mj = (jnp.array(xp, jnp.float32), jnp.array(yp, jnp.float32),
-                  jnp.array(mask))
-    h = init_hypers(yj, mj, d)
-    key = jax.random.PRNGKey(11)
-    for _ in range(3):
-        key, k = jax.random.split(key)
-        a = sample_hypers(k, h, xj, yj, mj, MCMCConfig(joint_cache=True))
-        b = sample_hypers(k, h, xj, yj, mj, MCMCConfig(joint_cache=False))
-        for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
-            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
-                                       rtol=2e-5, atol=1e-7)
-        h = a
 
 
 def test_tri_solve_blocked_matches_xla():
