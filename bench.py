@@ -98,9 +98,11 @@ def time_tpu(n, d, chains, cands, reps, lbfgs_iters=20, grid_subset=10,
     def force(res):
         # On the experimental remote-TPU platform block_until_ready can
         # return before execution finishes; a host transfer of a value
-        # that depends on the whole program cannot.
-        return float(np.asarray(res.ei).sum()) + float(
-            np.asarray(res.hypers.ls).sum())
+        # that depends on the whole program cannot.  ONE device-side
+        # scalar → one tunnel round trip (r1-r3 transferred two arrays,
+        # adding ~0.1-0.2 s of pure tunnel latency per rep — see
+        # BASELINE.md methodology note).
+        return float(np.asarray(res.ei.sum() + res.hypers.ls.sum()))
 
     # warmup/compile
     res = run(key, hypers)
@@ -140,33 +142,48 @@ def _count_eval_calls(n_small, d, sweeps=3, seed=0):
     return counter["n"] / sweeps
 
 
-def time_baseline(n, d, cands, mcmc_iters=10):
-    """Calibrated reference-CPU suggestion latency at full n."""
+def _measure_eval_cost(x, y, reps=3):
+    """Wall time of one slice-sampler logprob eval at full n (cov
+    assembly + cholesky + solve — the exact per-eval computation)."""
     import scipy.linalg as spla
 
+    from spearmint_tpu.golden import numpy_ref as g
+
+    n, d = x.shape
+    ls = np.ones(d)
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        cov = 1.0 * (g.matern52(x, x, ls) + 1e-6 * np.eye(n)) + 1e-3 * np.eye(n)
+        chol = spla.cholesky(cov, lower=True)
+        spla.cho_solve((chol, True), y)
+        ts.append(time.perf_counter() - t0)
+    return ts
+
+
+def _measure(fn, reps=2):
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return ts
+
+
+def time_baseline(n, d, cands, mcmc_iters=10):
+    """Calibrated reference-CPU suggestion latency at full n."""
     from spearmint_tpu.golden import numpy_ref as g
 
     evals_per_sweep = _count_eval_calls(min(n, 400), d)
 
     x, y, cand = make_problem(n, d, cands)
-    # per-eval cost at full n: the exact computation the slice sampler
-    # does per logprob call (cov assembly + cholesky + solve)
     ls = np.ones(d)
-    eval_times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        cov = 1.0 * (g.matern52(x, x, ls) + 1e-6 * np.eye(n)) + 1e-3 * np.eye(n)
-        chol = spla.cholesky(cov, lower=True)
-        spla.cho_solve((chol, True), y)
-        eval_times.append(time.perf_counter() - t0)
+    eval_times = _measure_eval_cost(x, y)
     # min over reps: least load-sensitive estimate (favors the baseline)
     per_eval = min(eval_times)
 
-    ei_times = []
-    for _ in range(2):
-        t0 = time.perf_counter()
-        g.compute_ei(x, y, cand, mean=0.0, amp2=1.0, noise=1e-3, ls=ls)
-        ei_times.append(time.perf_counter() - t0)
+    ei_times = _measure(lambda: g.compute_ei(x, y, cand, mean=0.0,
+                                             amp2=1.0, noise=1e-3, ls=ls))
     ei_time = min(ei_times)
 
     # The calibrated denominator is load-sensitive (observed 2.4–9.6 ks
@@ -182,8 +199,86 @@ def time_baseline(n, d, cands, mcmc_iters=10):
     }
 
 
+def time_baseline_per_sec(n, d, cands, mcmc_iters=10):
+    """Calibrated reference-CPU dual-GP (EI-per-second) latency.
+
+    GPEIperSecChooser semantics (SURVEY.md §2 #4): per iteration the
+    reference slice-samples BOTH hyperparameter sets (value GP and
+    log-duration GP) — two full sweeps of O(n³) evals — then one EI
+    sweep and one duration-GP posterior sweep over the candidates.
+    """
+    from spearmint_tpu.golden import numpy_ref as g
+
+    evals_per_sweep = _count_eval_calls(min(n, 400), d)
+
+    x, y, cand = make_problem(n, d, cands)
+    ls = np.ones(d)
+    eval_times = _measure_eval_cost(x, y)
+    per_eval = min(eval_times)
+
+    ei_times = _measure(lambda: g.compute_ei(x, y, cand, mean=0.0,
+                                             amp2=1.0, noise=1e-3, ls=ls))
+    post_times = _measure(lambda: g.posterior(x, y, cand, mean=0.0,
+                                              amp2=1.0, noise=1e-3, ls=ls))
+
+    def total(agg):
+        return mcmc_iters * (2.0 * evals_per_sweep * agg(eval_times)
+                             + agg(ei_times) + agg(post_times))
+
+    return total(min), {
+        "evals_per_sweep": evals_per_sweep,
+        "per_eval_s": per_eval,
+        "ei_sweep_s": min(ei_times),
+        "time_post_s": min(post_times),
+        "range_s": (total(min), total(max)),
+    }
+
+
+def time_baseline_async(n, d, cands, n_pending, mcmc_iters=10):
+    """Calibrated reference-CPU pending-fantasization latency.
+
+    Reference pending branch (SURVEY.md §3.2 ≈L200): per iteration,
+    sample hypers at n, fantasize the P pending outcomes (augmented
+    (n+P) Cholesky + posterior draw), then EI against the augmented
+    data.  The reference draws ONE fantasy vector per iteration; the
+    TPU engine averages 100 fantasy draws per sample (more work), so
+    this denominator is conservative in the baseline's favor.
+    """
+    from spearmint_tpu.golden import numpy_ref as g
+
+    evals_per_sweep = _count_eval_calls(min(n, 400), d)
+
+    x, y, cand = make_problem(n, d, cands)
+    rngp = np.random.RandomState(7)
+    pend = rngp.rand(n_pending, d)
+    ls = np.ones(d)
+    eval_times = _measure_eval_cost(x, y)
+    per_eval = min(eval_times)
+
+    rng_f = np.random.RandomState(11)
+    fant_times = _measure(lambda: g.fantasize(x, y, pend, mean=0.0,
+                                              amp2=1.0, noise=1e-3, ls=ls,
+                                              rng=rng_f))
+    x_aug = np.vstack([x, pend])
+    y_aug = np.concatenate([y, np.zeros(n_pending)])
+    ei_times = _measure(lambda: g.compute_ei(x_aug, y_aug, cand, mean=0.0,
+                                             amp2=1.0, noise=1e-3, ls=ls))
+
+    def total(agg):
+        return mcmc_iters * (evals_per_sweep * agg(eval_times)
+                             + agg(fant_times) + agg(ei_times))
+
+    return total(min), {
+        "evals_per_sweep": evals_per_sweep,
+        "per_eval_s": per_eval,
+        "fantasize_s": min(fant_times),
+        "ei_aug_sweep_s": min(ei_times),
+        "range_s": (total(min), total(max)),
+    }
+
+
 def time_tpu_per_sec(n, d, chains, cands, reps, lbfgs_iters=10,
-                     grid_subset=5):
+                     grid_subset=5, chain_chunk=0, explicit_inverse=True):
     """Dual-GP EI/sec suggestion latency (BASELINE config 3)."""
     import jax
     import jax.numpy as jnp
@@ -207,7 +302,8 @@ def time_tpu_per_sec(n, d, chains, cands, reps, lbfgs_iters=10,
     cj = jnp.array(cand, jnp.float32)
     cm = jnp.ones(cands, bool)
     cfg = SuggestConfig(mcmc_iters=1, grid_subset=grid_subset,
-                        lbfgs_iters=lbfgs_iters)
+                        lbfgs_iters=lbfgs_iters, chain_chunk=chain_chunk,
+                        explicit_inverse=explicit_inverse)
     key = jax.random.PRNGKey(0)
     pend = jnp.zeros((4, d), jnp.float32)
     pend_mask = jnp.zeros(4, bool)
@@ -217,7 +313,7 @@ def time_tpu_per_sec(n, d, chains, cands, reps, lbfgs_iters=10,
                                     pend_mask, cj, cm, cfg)
 
     def force(res):
-        return float(np.asarray(res.ei_per_s).sum())
+        return float(np.asarray(res.ei_per_s.sum()))
 
     res = run(key, h, t)
     force(res)
@@ -230,6 +326,67 @@ def time_tpu_per_sec(n, d, chains, cands, reps, lbfgs_iters=10,
         force(res)
         times.append(time.perf_counter() - t0)
         h, t = res.hypers, res.time_hypers
+    return float(np.median(times))
+
+
+def time_tpu_constrained(n, d, chains, cands, reps, lbfgs_iters=10,
+                         grid_subset=5, chain_chunk=0,
+                         explicit_inverse=True, p_invalid=0.25):
+    """Constrained-EI (probit latent GP + ESS) suggestion latency.
+
+    Not a BASELINE.json config (no golden dual-model denominator), but
+    the dual-model chooser's large-n behaviour needs a measured row —
+    VERDICT r3 next #5."""
+    import jax
+    import jax.numpy as jnp
+
+    from spearmint_tpu.core.linalg import pad_bucket
+    from spearmint_tpu.engine.constrained import (
+        ConstraintState, suggest_step_constrained,
+    )
+    from spearmint_tpu.engine.suggest import SuggestConfig, init_chain_states
+
+    x, y, cand = make_problem(n, d, cands)
+    rng = np.random.RandomState(3)
+    valid = rng.rand(n) > p_invalid
+    pad = pad_bucket(n)
+    xp = np.zeros((pad, d), np.float32); xp[:n] = x
+    yp = np.zeros(pad, np.float32); yp[:n] = np.where(valid, y, 0.0)
+    obs = np.arange(pad) < n
+    vmask = np.zeros(pad, bool); vmask[:n] = valid
+    xj, yj = jnp.array(xp), jnp.array(yp)
+    vj, oj = jnp.array(vmask), jnp.array(obs)
+    h = init_chain_states(yj, vj, d, chains)
+    constraint = ConstraintState(
+        ls=jnp.ones((chains, d), jnp.float32),
+        amp2=jnp.ones((chains,), jnp.float32),
+        ff=jnp.zeros((chains, pad), jnp.float32),
+    )
+    cj = jnp.array(cand, jnp.float32)
+    cm = jnp.ones(cands, bool)
+    cfg = SuggestConfig(mcmc_iters=1, grid_subset=grid_subset,
+                        lbfgs_iters=lbfgs_iters, chain_chunk=chain_chunk,
+                        explicit_inverse=explicit_inverse)
+    key = jax.random.PRNGKey(0)
+
+    def run(k, h, c):
+        return suggest_step_constrained(k, h, c, xj, yj, vj, oj, cj, cm,
+                                        cfg)
+
+    def force(res):
+        return float(np.asarray(res.acq.sum()))
+
+    res = run(key, h, constraint)
+    force(res)
+    h, c = res.hypers, res.constraint
+    times = []
+    for _ in range(reps):
+        key, k = jax.random.split(key)
+        t0 = time.perf_counter()
+        res = run(k, h, c)
+        force(res)
+        times.append(time.perf_counter() - t0)
+        h, c = res.hypers, res.constraint
     return float(np.median(times))
 
 
@@ -246,6 +403,13 @@ PRESETS = {
     "hartmann": dict(n=500, d=6, chains=20, cands=2048),
     # EI-per-second dual-GP chooser
     "per_sec": dict(n=1000, d=2, chains=10, cands=2048, _fn="per_sec"),
+    # dual-GP at flagship scale through the threaded memory policy
+    # (VERDICT r3 next #5: the dual-GP path's large-n behaviour)
+    "per_sec_large": dict(n=5000, d=2, chains=10, cands=2048,
+                          _fn="per_sec"),
+    # constrained chooser (probit latent GP + ESS) at flagship scale
+    "constrained": dict(n=5000, d=2, chains=10, cands=2048,
+                        _fn="constrained"),
     # async: 64 pending fantasized (F=100 draws/sample)
     "async": dict(n=1000, d=2, chains=10, cands=2048, n_pending=64,
                   n_fantasies=100),
@@ -265,7 +429,8 @@ PRESETS = {
 }
 
 # presets whose CPU-golden baseline is feasible to measure in-run
-_BASELINE_OK = {"branin", "hartmann", "large", None}
+_BASELINE_OK = {"branin", "hartmann", "large", "per_sec",
+                "per_sec_large", "async", None}
 
 
 def run_config(preset, n, d, chains, cands, reps, extra, skip_baseline):
@@ -274,13 +439,22 @@ def run_config(preset, n, d, chains, cands, reps, extra, skip_baseline):
     fn_kind = extra.pop("_fn", "suggest")
     if fn_kind == "per_sec":
         tpu_latency = time_tpu_per_sec(n, d, chains, cands, reps, **extra)
+    elif fn_kind == "constrained":
+        tpu_latency = time_tpu_constrained(n, d, chains, cands, reps,
+                                           **extra)
     else:
         tpu_latency = time_tpu(n, d, chains, cands, reps, **extra)
 
     if skip_baseline or preset not in _BASELINE_OK:
         baseline, detail, vs = float("nan"), {}, float("nan")
     else:
-        baseline, detail = time_baseline(n, d, cands)
+        if fn_kind == "per_sec":
+            baseline, detail = time_baseline_per_sec(n, d, cands)
+        elif extra.get("n_pending", 0) > 0:
+            baseline, detail = time_baseline_async(n, d, cands,
+                                                   extra["n_pending"])
+        else:
+            baseline, detail = time_baseline(n, d, cands)
         vs = baseline / tpu_latency
 
     name = preset or f"n{n}_chains{chains}_cands{cands}"
@@ -318,7 +492,16 @@ def main(argv=None):
     p.add_argument("--skip-baseline", action="store_true")
     p.add_argument("--no-explicit-inverse", action="store_true",
                    help="triangular solves instead of materialized L^-1")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (the image's sitecustomize "
+                        "re-registers the remote-TPU backend regardless of "
+                        "JAX_PLATFORMS, so the env var alone is not enough)")
     args = p.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     if args.all:
         records = []

@@ -263,7 +263,10 @@ def main():
             a = np.asarray(a); b = np.asarray(b)
             return float(np.max(np.abs(a - b) / np.maximum(np.abs(b), 1e-9)))
 
-        for prec in ("highest", "high", "default"):
+        # ("high" is not lowerable by Mosaic — only DEFAULT/HIGHEST
+        # exist on this backend; DEFAULT's single-pass bf16 NaNs the
+        # factorization at this conditioning, recorded for the data.)
+        for prec in ("highest", "default"):
             t0 = time.perf_counter()
             ld_f, q_f = pallas_gp.logdet_q_pallas(ks, residb, prec=prec)
             ld_f, q_f = jax.device_get((ld_f, q_f))
@@ -274,6 +277,16 @@ def main():
                   f"{relerr(ld_f, ld_ref):.3g}")
             print(f"parity_fused_{prec}_relerr_q {relerr(q_f, q_ref):.3g}")
             print(f"micro_fused10_{prec}_s {t_f:.4f}")
+
+        # blocked triangular-inverse kernel (posterior-cache path)
+        chols_b = jax.jit(jnp.linalg.cholesky)(ks)
+        t_tip = bench(lambda: pallas_gp.tri_inverse_pallas(chols_b))
+        print(f"micro_tri_inverse_pallas10_s {t_tip:.4f}")
+        x_p = np.asarray(pallas_gp.tri_inverse_pallas(chols_b)[0])
+        x_ref = np.asarray(jax.jit(
+            lambda c: jax.vmap(linalg.tri_inverse)(c))(chols_b)[0])
+        print(f"parity_tri_inverse_relerr "
+              f"{np.max(np.abs(x_p - x_ref)) / np.max(np.abs(x_ref)):.3g}")
 
         # shifted (joint-move) form parity: K = amp2·M + diag(dadd)
         from spearmint_tpu.core.likelihood import unit_cov_matrix

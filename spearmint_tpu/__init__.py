@@ -26,3 +26,18 @@ Layout (see SURVEY.md §7):
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# TPU MXU matmuls default to single-pass bf16 (~8 mantissa bits).  For a
+# Bayesian-numerics engine that is not a tuning knob, it is silent
+# corruption: posterior variances are small differences of O(amp2)
+# quantities (var = amp2·(1+ε) − Σβ², with var/amp2 down at 1e-4), and
+# bf16 β made variances NEGATIVE at realistic hyperparameters — caught
+# by tests/test_tpu_smoke.py against float64 golden math (r4).  bf16_3x
+# ("high", ~f32-grade for these magnitudes at 3 MXU passes instead of
+# 6) is the library-wide floor; the variance-critical posterior GEMMs
+# additionally pin Precision.HIGHEST explicitly (acquire/ei.py,
+# acquire/fantasy.py, engine/constrained.py, engine/obs_shard.py).
+# CPU is unaffected (always f32).
+_jax.config.update("jax_default_matmul_precision", "high")

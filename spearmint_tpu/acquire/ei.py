@@ -67,12 +67,27 @@ def make_cache(
     kernel: Callable = matern52,
     with_inverse: bool = False,
 ) -> PosteriorCache:
-    k = cov_matrix(x, mask, hypers.amp2, hypers.noise, hypers.ls, kernel)
-    chol = linalg.cholesky(k)
     resid = jnp.where(mask, y - hypers.mean, 0.0)
-    alpha = linalg.chol_solve(chol, resid)
+    if with_inverse:
+        # One bundled call: on TPU the factorization is NOT redone by
+        # XLA — two Pallas kernels produce L, L⁻¹ and α directly,
+        # factoring through the SAME shifted assembly the sampler
+        # evaluated these hypers with (linalg.cache_factor); off-TPU
+        # it is exactly the assemble → cholesky → cho_solve →
+        # tri_inverse sequence used before.
+        from spearmint_tpu.core.likelihood import unit_cov_matrix
+
+        m0 = unit_cov_matrix(x, mask, hypers.ls, kernel)
+        dadd = jnp.where(mask, hypers.noise, jnp.asarray(1.0, x.dtype))
+        chol, linv, alpha = linalg.cache_factor(
+            m0, jnp.asarray(hypers.amp2, x.dtype), dadd, resid)
+    else:
+        k = cov_matrix(x, mask, hypers.amp2, hypers.noise, hypers.ls,
+                       kernel)
+        chol = linalg.cholesky(k)
+        alpha = linalg.chol_solve(chol, resid)
+        linv = None
     best = linalg.masked_min(y, mask)
-    linv = linalg.tri_inverse(chol) if with_inverse else None
     return PosteriorCache(chol=chol, alpha=alpha, best=best, hypers=hypers,
                           linv=linv)
 
@@ -88,10 +103,16 @@ def posterior_from_cache(
     h = cache.hypers
     kx = cross_cov(x, cand, h.amp2, h.ls, kernel)
     kx = kx * mask[:, None]  # padded observations contribute nothing
+    # Precision.HIGHEST on both projections: var is the near-cancelling
+    # difference amp2·(1+ε) − Σβ² (var/amp2 reaches 1e-4 at realistic
+    # hypers), and u = (best−mu)/σ divides by its square root — bf16 β
+    # made variances NEGATIVE on TPU (tests/test_tpu_smoke.py, r4).
     # tensordot handles both (N,) → (C,) and (F, N) → (F, C) alphas
-    mu = h.mean + jnp.tensordot(cache.alpha, kx, axes=((-1,), (0,)))
+    mu = h.mean + jnp.tensordot(cache.alpha, kx, axes=((-1,), (0,)),
+                                precision=jax.lax.Precision.HIGHEST)
     if cache.linv is not None:
-        beta = cache.linv @ kx  # GEMM instead of a sequential trisolve
+        beta = jnp.matmul(cache.linv, kx,
+                          precision=jax.lax.Precision.HIGHEST)
     else:
         beta = linalg.tri_solve(cache.chol, kx)
     var = h.amp2 * (1.0 + JITTER) - jnp.sum(beta * beta, axis=0)

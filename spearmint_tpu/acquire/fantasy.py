@@ -52,9 +52,13 @@ def fantasize(
     eye_p = jnp.eye(n_pend, dtype=x.dtype)
     kappa = hypers.amp2 * (kernel(pend, pend, hypers.ls) + JITTER * eye_p)
 
-    pend_m = hypers.mean + kx.T @ alpha
+    # HIGHEST on the projection GEMMs: pend_k is the near-cancelling
+    # posterior covariance kappa − βᵀβ (same failure mode as EI's var —
+    # see acquire/ei.posterior_from_cache).
+    hp = jax.lax.Precision.HIGHEST
+    pend_m = hypers.mean + jnp.matmul(kx.T, alpha, precision=hp)
     beta = linalg.tri_solve(obs_chol, kx)
-    pend_k = kappa - beta.T @ beta
+    pend_k = kappa - jnp.matmul(beta.T, beta, precision=hp)
     pend_k = linalg.mask_psd_matrix(pend_k + JITTER * eye_p, pend_mask)
     pend_chol = linalg.cholesky(pend_k)
 
@@ -92,9 +96,13 @@ def fantasize_batch(
     eye_p = jnp.eye(n_pend, dtype=x.dtype)
     kappa = hypers.amp2 * (kernel(pend, pend, hypers.ls) + JITTER * eye_p)
 
-    pend_m = hypers.mean + kx.T @ alpha
+    # HIGHEST on the projection GEMMs: pend_k is the near-cancelling
+    # posterior covariance kappa − βᵀβ (same failure mode as EI's var —
+    # see acquire/ei.posterior_from_cache).
+    hp = jax.lax.Precision.HIGHEST
+    pend_m = hypers.mean + jnp.matmul(kx.T, alpha, precision=hp)
     beta = linalg.tri_solve(obs_chol, kx)
-    pend_k = kappa - beta.T @ beta
+    pend_k = kappa - jnp.matmul(beta.T, beta, precision=hp)
     pend_k = linalg.mask_psd_matrix(pend_k + JITTER * eye_p, pend_mask)
     pend_chol = linalg.cholesky(pend_k)
 

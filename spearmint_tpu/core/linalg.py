@@ -22,6 +22,7 @@ import os
 import jax
 import jax.numpy as jnp
 
+
 def cholesky(k: jnp.ndarray) -> jnp.ndarray:
     """Lower Cholesky (XLA's).
 
@@ -159,8 +160,9 @@ def tri_solve_blocked(chol: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         # w holds solved entries (zeros ahead of the frontier), so the
         # full-width matvec picks up exactly the j < i block columns
         # (block i's own columns multiply zeros; cols > i are zero in L).
-        s = rows[i] @ w
-        wi = dinv[i] @ (bvec[i] - s)
+        hp = jax.lax.Precision.HIGHEST
+        s = jnp.matmul(rows[i], w, precision=hp)
+        wi = jnp.matmul(dinv[i], bvec[i] - s, precision=hp)
         w = jax.lax.dynamic_update_slice(w, wi, (i * bs,))
         return w, None
 
@@ -307,6 +309,82 @@ def _fma_logdet_q_vmap(axis_size, in_batched, m0, amp2, dadd, resid):
         ld = jax.vmap(logdet_from_chol)(chols)
         q = jnp.sum(w * w, axis=-1)
     return (ld, q), (True, True)
+
+
+@jax.custom_batching.custom_vmap
+def cache_factor(m0: jnp.ndarray, amp2: jnp.ndarray, dadd: jnp.ndarray,
+                 resid: jnp.ndarray):
+    """(L, L⁻¹, K⁻¹ resid) for K = amp2·m0 + diag(dadd) — the
+    posterior-cache factorization bundle.
+
+    m0: (N, N) unit covariance (likelihood.unit_cov_matrix), amp2:
+    scalar, dadd: (N,) diagonal additions (noise on real rows, 1 on
+    padded), resid: (N,).  On TPU at supported shapes this factors the
+    SHIFTED unit matrix M + diag(dadd/amp2) in the fused kernel —
+    the exact assembly/rounding every slice-sampling evaluation used
+    (fma_logdet_q) — then rescales analytically:
+        L = √amp2·L̃,  L⁻¹ = L̃⁻¹/√amp2,  α = (L̃⁻ᵀw̃)/amp2,
+    with the blocked triangular inversion (tri_inverse_pallas) for L̃⁻¹.
+    Factoring the sampler's own form matters at the f32 conditioning
+    edge: hypers the sampler accepted as finite were observed to NaN
+    under a separately XLA-assembled factorization of the same K
+    (tests/test_tpu_smoke.py, r4).  The XLA path (CPU goldens,
+    unsupported shapes) is bit-identical to the r3 cache sequence:
+    assemble → cholesky → cho_solve → tri_inverse.  On the fused path
+    L's tiles strictly above the block diagonal contain garbage —
+    triangular consumers only (L⁻¹ is dense-complete with exact upper
+    zeros).  Not differentiable on the fused path (caches are
+    constants w.r.t. the EI optimization variables).
+    """
+    if _fused_ok(m0.shape[-1]):
+        chol, linv, alpha = _fused_cache_factor(
+            m0[None], amp2[None], dadd[None], resid[None])
+        return chol[0], linv[0], alpha[0]
+    return _xla_cache_factor(m0, amp2, dadd, resid)
+
+
+def _xla_cache_factor(m0, amp2, dadd, resid):
+    k = amp2 * m0 + dadd * jnp.eye(m0.shape[-1], dtype=m0.dtype)
+    chol = cholesky(k)
+    alpha = chol_solve(chol, resid)
+    linv = tri_inverse(chol)
+    return chol, linv, alpha
+
+
+def _fused_cache_factor(m0, amp2, dadd, resid):
+    from spearmint_tpu.ops.pallas_gp import (
+        shifted_factor_logdet_q_pallas, tri_inverse_pallas,
+    )
+
+    _, _, l_sh, w_sh = shifted_factor_logdet_q_pallas(
+        m0, dadd / amp2[:, None], resid)
+    linv_sh = tri_inverse_pallas(l_sh)
+    s = jnp.sqrt(amp2)
+    chol = l_sh * s[:, None, None]
+    linv = linv_sh / s[:, None, None]
+    # α = K⁻¹r = (1/amp2)·L̃⁻ᵀ(L̃⁻¹r) = L̃⁻ᵀw̃/amp2, batched GEMV
+    alpha = jnp.einsum("kij,ki->kj", linv_sh, w_sh,
+                       precision=jax.lax.Precision.HIGHEST) / amp2[:, None]
+    return chol, linv, alpha
+
+
+@cache_factor.def_vmap
+def _cache_factor_vmap(axis_size, in_batched, m0, amp2, dadd, resid):
+    args = [m0, amp2, dadd, resid]
+    args = [
+        a if b else jnp.broadcast_to(a, (axis_size,) + a.shape)
+        for a, b in zip(args, in_batched)
+    ]
+    m0, amp2, dadd, resid = args
+    if _fused_ok(m0.shape[-1]):
+        chol, linv, alpha = _fused_cache_factor(m0, amp2, dadd, resid)
+    else:
+        eye = jnp.eye(m0.shape[-1], dtype=m0.dtype)
+        k = amp2[:, None, None] * m0 + dadd[:, :, None] * eye
+        chol = cholesky(k)
+        alpha = jax.vmap(chol_solve)(chol, resid)
+        linv = tri_inverse(chol)
+    return (chol, linv, alpha), (True, True, True)
 
 
 def masked_min(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:

@@ -164,7 +164,7 @@ def _p_valid_at(state: ConstraintState, x, mask, cand, kernel):
     chol = linalg.cholesky(cov)
     kx = state.amp2 * kernel(x, cand, state.ls) * mask[:, None]
     alpha = linalg.chol_solve(chol, state.ff)
-    mu = kx.T @ alpha
+    mu = jnp.matmul(kx.T, alpha, precision=jax.lax.Precision.HIGHEST)
     beta = linalg.tri_solve(chol, kx)
     var = state.amp2 * (1.0 + JITTER) - jnp.sum(beta * beta, axis=0)
     var = jnp.maximum(var, 1e-10)

@@ -127,7 +127,8 @@ def cholesky_colblock(a_col):
         panel_k = _bcast_from(panel, k)             # [N, Nl] of column k
         # my diagonal-block rows of panel k (for the trailing GEMM)
         pk_mine = lax.dynamic_slice(panel_k, (row0, 0), (nl, nl))
-        trailing = slab - panel_k @ pk_mine.T
+        trailing = slab - jnp.matmul(panel_k, pk_mine.T,
+                                    precision=lax.Precision.HIGHEST)
         jk = jnp.int32(j)
         slab = jnp.where(jk == k, panel_k,
                          jnp.where(jk > k, trailing, slab))
@@ -164,7 +165,8 @@ def solve_colblock(l_col, b):
         z_mine = lax.linalg.triangular_solve(
             l_dd, r_mine, left_side=True, lower=True)
         # contribution of my column block to all later rows
-        upd_mine = l_col @ z_mine                         # [N, C]
+        upd_mine = jnp.matmul(l_col, z_mine,
+                              precision=lax.Precision.HIGHEST)  # [N, C]
         z_k = _bcast_from(_embed(z_mine, n, row0), k)
         upd_k = _bcast_from(upd_mine, k)
         z = z + z_k
@@ -205,7 +207,7 @@ def posterior_colblock(x, y, mask, cand, mean, amp2, noise, ls,
     resid = jnp.where(mask, y - mean, 0.0)
     alpha = solve_colblock(l_col, resid)
     alpha = _backsolve(l_col, alpha)
-    mu = mean + kx.T @ alpha
+    mu = mean + jnp.matmul(kx.T, alpha, precision=lax.Precision.HIGHEST)
     beta = solve_colblock(l_col, kx)
     var = amp2 * (1.0 + JITTER) - jnp.sum(beta * beta, axis=0)
     return mu, var
@@ -226,7 +228,8 @@ def _backsolve(l_col, z):
     for k in reversed(range(ndev)):
         # my rows of Lᵀ = my column slab transposed: [Nl, N]
         r_mine = lax.dynamic_slice_in_dim(z, row0, nl, axis=0)
-        r_mine = r_mine - l_col.T @ w
+        r_mine = r_mine - jnp.matmul(l_col.T, w,
+                                     precision=lax.Precision.HIGHEST)
         w_mine = lax.linalg.triangular_solve(
             l_dd, r_mine[:, None], left_side=True, lower=True,
             transpose_a=True)[:, 0]
@@ -402,7 +405,8 @@ def sharded_suggest_obs(mesh: Mesh, config):
 
             def ei_chunk(cc):
                 kx = h.amp2 * kernel(x, cc, h.ls) * mask[:, None]
-                mu = h.mean + kx.T @ alpha
+                mu = h.mean + jnp.matmul(kx.T, alpha,
+                                         precision=lax.Precision.HIGHEST)
                 beta = solve_colblock(l_col, kx)
                 var = h.amp2 * (1.0 + JITTER) - jnp.sum(beta * beta, 0)
                 sigma = jnp.sqrt(jnp.maximum(var, 1e-14))

@@ -209,7 +209,16 @@ def suggest_step(
     )(caches)  # [S, C] or [S, F, C] with pending fantasies
     if ei_samples.ndim == 3:
         ei_samples = jnp.mean(ei_samples, axis=1)
-    ei_mean = jnp.mean(ei_samples, axis=0)
+    # NaN-robust sample average: a hyperparameter state right at the f32
+    # conditioning edge can fail its cache factorization (NaN alpha)
+    # even though the sampler accepted it — exclude such samples from
+    # the EI average instead of letting one NaN poison every candidate
+    # (the f64 reference never hits this; it would crash if it did).
+    ok = jnp.all(jnp.isfinite(caches.alpha.reshape(s, -1)), axis=1)
+    n_ok = jnp.maximum(jnp.sum(ok.astype(ei_samples.dtype)), 1.0)
+    ei_samples = jnp.where(ok[:, None] & jnp.isfinite(ei_samples),
+                           ei_samples, 0.0)
+    ei_mean = jnp.sum(ei_samples, axis=0) / n_ok
     ei_masked = jnp.where(cand_mask, ei_mean, -jnp.inf)
     best_cand = jnp.argmax(ei_masked)
     best_cand_ei = ei_masked[best_cand]
@@ -226,7 +235,10 @@ def suggest_step(
                     c, x_all, mask_all, pt[None], kernel
                 )[..., 0]
             )(caches)  # [S] or [S, F]
-            return -jnp.mean(eis)
+            if eis.ndim == 2:
+                eis = jnp.mean(eis, axis=1)
+            eis = jnp.where(ok & jnp.isfinite(eis), eis, 0.0)
+            return -jnp.sum(eis) / n_ok
 
         dim = cand.shape[1]
         res = minimize_lbfgs_b(

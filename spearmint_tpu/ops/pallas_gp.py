@@ -85,6 +85,21 @@ MAX_BATCH = 10
 # module docstring); exposed for experiments.
 PRECISION = "highest"
 
+# Interpret-mode DMA semantics for CPU tests.  "eager" (fast: every copy
+# completes at start()) is the CI default; tests also run "on_wait"
+# (copies land only at wait() — the real-hardware model) with the
+# interpreter's vector-clock race detector to exercise the
+# multi-buffered load/store logic (ADVICE r3 #1).
+INTERPRET_DMA = "eager"
+INTERPRET_DETECT_RACES = False
+
+
+def _interpret_params():
+    return pltpu.InterpretParams(
+        dma_execution_mode=INTERPRET_DMA,
+        detect_races=INTERPRET_DETECT_RACES,
+    )
+
 
 def _dot(a, b, contract, batch=((0,), (0,)), prec=None):
     return lax.dot_general(
@@ -210,6 +225,39 @@ def _factor_diag(dblk, linv, ldacc, block, sub, prec):
             ltt_inv, tmp, ((2,), (1,)), prec=prec)
 
 
+def _diag_of_tri(lmat):
+    """[K, b] diagonal of a [K, b, b] tile (iota mask + lane reduce)."""
+    b = lmat.shape[-1]
+    rows = lax.broadcasted_iota(jnp.int32, (b, b), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (b, b), 1)
+    eye = rows == cols
+    return jnp.sum(jnp.where(eye[None], lmat, 0.0), axis=2)
+
+
+def _invert_tri_vmem(src, dst, block, sub, prec):
+    """dst ← src⁻¹ for an already-factored lower-triangular
+    [K, block, block] tile (both VMEM refs; dst must be zeroed).
+
+    Same two-level scheme as ``_factor_diag``'s inverse assembly:
+    SUB-wide base inverses by nilpotent repeated squaring, then block
+    forward substitution on the MXU for the sub-diagonal strips.
+    """
+    n_sub = block // sub
+    for s in range(n_sub):
+        off = s * sub
+        l_s = src[:, off:off + sub, off:off + sub]
+        dvec = _diag_of_tri(l_s)
+        dst[:, off:off + sub, off:off + sub] = _tri_inv_sq(l_s, dvec, prec)
+    for t in range(1, n_sub):
+        off = t * sub
+        lstrip = src[:, off:off + sub, 0:off]
+        xtl = dst[:, 0:off, 0:off]
+        tmp = _dot(lstrip, xtl, ((2,), (1,)), prec=prec)
+        ltt_inv = dst[:, off:off + sub, off:off + sub]
+        dst[:, off:off + sub, 0:off] = -_dot(
+            ltt_inv, tmp, ((2,), (1,)), prec=prec)
+
+
 def _diag_tile(dadd, roff, blk):
     """diag(dadd[roff:roff+blk]) as a [K, blk, blk] tile."""
     rr = lax.broadcasted_iota(jnp.int32, (blk, blk), 0)
@@ -218,7 +266,7 @@ def _diag_tile(dadd, roff, blk):
     return jnp.where((rr == cc)[None], dv[:, :, None], 0.0)
 
 
-def _make_kernel(nb, block, sub, prec, shift, debug_skip=""):
+def _make_kernel(nb, block, sub, prec, shift, debug_skip="", emit=False):
     """Build the kernel body for an N = nb·block matrix.
 
     Args: (a_hbm[, dshift], r) with a aliased to the ws output.  With
@@ -228,17 +276,26 @@ def _make_kernel(nb, block, sub, prec, shift, debug_skip=""):
     caller rescales the two outputs by amp2 analytically
     (linalg.fma_logdet_q), so the O(N²) assembly pass disappears
     without touching any off-diagonal tile.
+
+    With ``emit`` the factored diagonal blocks are written back to the
+    workspace (tril-masked) so ws leaves the kernel as the true lower
+    Cholesky factor L on and below the diagonal (tiles strictly above
+    the block diagonal keep the input's symmetric values — triangular
+    consumers must not read them), and the solved RHS w = L⁻¹r is
+    emitted as a third output.  This is the posterior-cache path
+    (linalg.chol_inv_solve): the factorization feeds
+    ``tri_inverse_pallas`` instead of being recomputed by XLA.
     """
 
     def kernel(*refs):
         if shift:
-            (a_hbm, dshift, r_ref, out_ref, ws,
-             dblk, linv, aslots, lslots, wvec, qacc, ldacc,
-             dsem, asems, assems, lsems, psems) = refs
+            (a_hbm, dshift, r_ref, out_ref, ws, *rest) = refs
         else:
-            (a_hbm, r_ref, out_ref, ws,
-             dblk, linv, aslots, lslots, wvec, qacc, ldacc,
-             dsem, asems, assems, lsems, psems) = refs
+            (a_hbm, r_ref, out_ref, ws, *rest) = refs
+        if emit:
+            w_out, *rest = rest
+        (dblk, linv, aslots, lslots, wvec, qacc, ldacc,
+         dsem, asems, assems, lsems, psems) = rest
         del a_hbm  # aliased to ws; all access goes through ws
 
         k = pl.program_id(0)
@@ -262,8 +319,18 @@ def _make_kernel(nb, block, sub, prec, shift, debug_skip=""):
 
         linv[:] = jnp.zeros_like(linv)
         _factor_diag(dblk, linv, ldacc, block, sub, prec)
-        # (L_kk itself is never re-read — ws keeps the unfactored diag
-        # tile; ws is a destroyed workspace, not a valid Cholesky factor.)
+        if emit:
+            # write L_kk back (tril-masked) so ws is the true factor
+            rr = lax.broadcasted_iota(jnp.int32, (block, block), 0)
+            cc = lax.broadcasted_iota(jnp.int32, (block, block), 1)
+            dblk[:, :, :] = jnp.where((rr >= cc)[None], dblk[:, :, :], 0.0)
+            st_diag = pltpu.make_async_copy(
+                dblk, ws.at[:, pl.ds(row0, block), pl.ds(row0, block)],
+                dsem)
+            st_diag.start()
+            st_diag.wait()
+        # (otherwise L_kk is never re-read — ws keeps the unfactored
+        # diag tile; ws is a destroyed workspace, not a valid factor.)
 
         # ---- solve this panel's RHS chunk: w_k ← L_kk⁻¹ w_k -----------
         wk = _dot(linv[:, :, :], wvec[:, pl.ds(row0, block)], ((2,), (1,)),
@@ -407,12 +474,14 @@ def _make_kernel(nb, block, sub, prec, shift, debug_skip=""):
             out_ref[:] = jnp.stack(
                 [jnp.sum(ldacc[:], axis=1), jnp.sum(qacc[:], axis=1)],
                 axis=1)
+            if emit:
+                w_out[:] = wvec[:]
 
     return kernel
 
 
 def _call(kmat, extra_inputs, resid, block, sub, interpret, prec,
-          shift, debug_skip):
+          shift, debug_skip, emit=False):
     k_batch, n, _ = kmat.shape
     # Shape preconditions (tracing-time; violating any silently corrupts
     # the factorization rather than erroring inside Mosaic):
@@ -425,22 +494,27 @@ def _call(kmat, extra_inputs, resid, block, sub, interpret, prec,
                          "unroll (4)")
     nb = n // block
     kernel = _make_kernel(nb, block, sub, prec or PRECISION, shift,
-                          debug_skip)
+                          debug_skip, emit)
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * (
         len(extra_inputs) + 1)
-    out, _ = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((k_batch, 2), jnp.float32),
+        jax.ShapeDtypeStruct(kmat.shape, kmat.dtype),
+    ]
+    if emit:
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct(resid.shape, jnp.float32))
+    out = pl.pallas_call(
         kernel,
         grid=(nb,),
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((k_batch, 2), jnp.float32),
-            jax.ShapeDtypeStruct(kmat.shape, kmat.dtype),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         input_output_aliases={0: 1},
         scratch_shapes=[
             pltpu.VMEM((k_batch, block, block), jnp.float32),   # dblk
@@ -456,8 +530,7 @@ def _call(kmat, extra_inputs, resid, block, sub, interpret, prec,
             pltpu.SemaphoreType.DMA((2, 2)),                    # L loads
             pltpu.SemaphoreType.DMA((2,)),                      # panel st
         ],
-        interpret=(pltpu.InterpretParams(dma_execution_mode="eager")
-                   if interpret else False),
+        interpret=_interpret_params() if interpret else False,
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=127 * 1024 * 1024,
@@ -468,7 +541,11 @@ def _call(kmat, extra_inputs, resid, block, sub, interpret, prec,
             transcendentals=k_batch * n,
         ),
     )(kmat, *extra_inputs, resid)
-    return out[:, 0], out[:, 1]
+    if emit:
+        scal, lmat, w = out
+        return scal[:, 0], scal[:, 1], lmat, w
+    scal = out[0]
+    return scal[:, 0], scal[:, 1]
 
 
 @functools.partial(
@@ -489,6 +566,259 @@ def _shifted_logdet_q_call(kmat, dshift, resid, block, sub, interpret,
                  True, debug_skip)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("block", "sub", "interpret", "prec", "debug_skip"))
+def _factor_logdet_q_call(kmat, resid, block, sub, interpret, prec=None,
+                          debug_skip=""):
+    return _call(kmat, (), resid, block, sub, interpret, prec, False,
+                 debug_skip, emit=True)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block", "sub", "interpret", "prec", "debug_skip"))
+def _shifted_factor_call(kmat, dshift, resid, block, sub, interpret,
+                         prec=None, debug_skip=""):
+    return _call(kmat, (dshift,), resid, block, sub, interpret, prec,
+                 True, debug_skip, emit=True)
+
+
+# ---------------------------------------------------------------------------
+# Blocked triangular inversion: X = L⁻¹ for the posterior caches.
+#
+# XLA's chunked triangular solve against the identity (linalg.tri_inverse)
+# measured 0.139 s at [10, 5120, 5120] (9.6 TF/s — sequential panel latency
+# again).  This kernel runs the block forward substitution
+#     X_ii = L_ii⁻¹,    X_ij = −X_ii · Σ_{j≤k<i} L_ik X_kj   (j < i)
+# with the diagonal-block inverses from the same nilpotent-squaring
+# primitive the factorization uses, one grid step per block row (row i
+# reads X rows < i written by earlier steps), double-buffered DMA on the
+# accumulation operands.  Strictly-upper tiles of the output are zeroed so
+# X is a complete dense matrix (consumers GEMM against it directly).
+# ---------------------------------------------------------------------------
+
+
+def _make_inv_kernel(nb, block, sub, prec):
+    def kernel(l_hbm, x_hbm, ltile, dinv, zeros, lbuf, xbuf, acc,
+               dsem, stsem, lsems, xsems, zsem):
+        i = pl.program_id(0)
+        row0 = i * block
+
+        # ---- X_ii = L_ii⁻¹ -------------------------------------------
+        ld = pltpu.make_async_copy(
+            l_hbm.at[:, pl.ds(row0, block), pl.ds(row0, block)], ltile,
+            dsem)
+        ld.start()
+        ld.wait()
+        dinv[:] = jnp.zeros_like(dinv)
+        _invert_tri_vmem(ltile, dinv, block, sub, prec)
+        st = pltpu.make_async_copy(
+            dinv, x_hbm.at[:, pl.ds(row0, block), pl.ds(row0, block)],
+            dsem)
+        st.start()
+        st.wait()
+
+        # ---- zero the strictly-upper tiles of this block row ----------
+        @pl.when(i == 0)
+        def _():
+            zeros[:] = jnp.zeros_like(zeros)
+
+        def z_body(u, _):
+            col0 = row0 + (u + 1) * block
+            stz = pltpu.make_async_copy(
+                zeros, x_hbm.at[:, pl.ds(row0, block), pl.ds(col0, block)],
+                zsem)
+            stz.start()
+            stz.wait()
+            return 0
+
+        lax.fori_loop(0, nb - 1 - i, z_body, 0)
+
+        # ---- off-diagonal blocks: X_ij over j < i ---------------------
+        def load_pair(j, k, sl):
+            return (
+                pltpu.make_async_copy(
+                    l_hbm.at[:, pl.ds(row0, block),
+                             pl.ds(k * block, block)],
+                    lbuf.at[sl], lsems.at[sl]),
+                pltpu.make_async_copy(
+                    x_hbm.at[:, pl.ds(k * block, block),
+                             pl.ds(j * block, block)],
+                    xbuf.at[sl], xsems.at[sl]),
+            )
+
+        def j_body(j, _):
+            # k runs j..i-1; slot = (k - j) % 2
+            for dma in load_pair(j, j, 0):
+                dma.start()
+            acc[:] = jnp.zeros_like(acc)
+
+            def k_body(k, _):
+                sl = (k - j) % 2
+
+                @pl.when(k + 1 < i)
+                def _():
+                    for dma in load_pair(j, k + 1, (k - j + 1) % 2):
+                        dma.start()
+
+                for dma in load_pair(j, k, sl):
+                    dma.wait()
+                acc[:, :, :] = acc[:, :, :] + _dot(
+                    lbuf[sl], xbuf[sl], ((2,), (1,)), prec=prec)
+                return 0
+
+            lax.fori_loop(j, i, k_body, 0)
+            xa = -_dot(dinv[:, :, :], acc[:, :, :], ((2,), (1,)),
+                       prec=prec)
+            acc[:, :, :] = xa
+            stx = pltpu.make_async_copy(
+                acc, x_hbm.at[:, pl.ds(row0, block),
+                              pl.ds(j * block, block)], stsem)
+            stx.start()
+            stx.wait()  # later rows read this tile; keep ordering strict
+            return 0
+
+        lax.fori_loop(0, i, j_body, 0)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block", "sub", "interpret", "prec"))
+def _tri_inverse_call(lmat, block, sub, interpret, prec=None):
+    k_batch, n, _ = lmat.shape
+    if n % block != 0 or n < 2 * block:
+        raise ValueError(f"n={n} must be a multiple of block={block}, ≥2×")
+    if block % sub != 0:
+        raise ValueError(f"block={block} must be a multiple of sub={sub}")
+    nb = n // block
+    kernel = _make_inv_kernel(nb, block, sub, prec or PRECISION)
+    return pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct(lmat.shape, lmat.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((k_batch, block, block), jnp.float32),   # ltile
+            pltpu.VMEM((k_batch, block, block), jnp.float32),   # dinv
+            pltpu.VMEM((k_batch, block, block), jnp.float32),   # zeros
+            pltpu.VMEM((2, k_batch, block, block), jnp.float32),  # lbuf
+            pltpu.VMEM((2, k_batch, block, block), jnp.float32),  # xbuf
+            pltpu.VMEM((k_batch, block, block), jnp.float32),   # acc
+            pltpu.SemaphoreType.DMA(()),                        # diag
+            pltpu.SemaphoreType.DMA(()),                        # stores
+            pltpu.SemaphoreType.DMA((2,)),                      # L loads
+            pltpu.SemaphoreType.DMA((2,)),                      # X loads
+            pltpu.SemaphoreType.DMA(()),                        # zeros st
+        ],
+        interpret=_interpret_params() if interpret else False,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=127 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=k_batch * n**3 // 3,
+            bytes_accessed=4 * k_batch * n * n * 4,
+            transcendentals=0,
+        ),
+    )(lmat)
+
+
+def factor_logdet_q_pallas(
+    kmat: jnp.ndarray,
+    resid: jnp.ndarray,
+    block: int = BLOCK,
+    sub: int = SUB,
+    interpret: bool | None = None,
+    prec: str | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(Σ log diag L, ‖w‖², L, w = L⁻¹r) — the posterior-cache form.
+
+    Same factorization as ``logdet_q_pallas`` but the factor survives:
+    L is the donated input buffer rewritten in place (valid on and
+    below the diagonal; tiles strictly above the block diagonal retain
+    input values — triangular consumers only).  Batches above
+    MAX_BATCH are chunked.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    k_batch = kmat.shape[0]
+
+    def call(k, r):
+        return _factor_logdet_q_call(k, r, block, sub, interpret, prec)
+
+    if k_batch > MAX_BATCH:
+        eye = jnp.eye(kmat.shape[-1], dtype=kmat.dtype)
+        zero = jnp.zeros(resid.shape[1:], resid.dtype)
+        return _chunked(call, [kmat, resid], k_batch, [eye, zero],
+                        n_out=4)
+    return call(kmat, resid)
+
+
+def shifted_factor_logdet_q_pallas(
+    m0: jnp.ndarray,
+    dshift: jnp.ndarray,
+    resid: jnp.ndarray,
+    block: int = BLOCK,
+    sub: int = SUB,
+    interpret: bool | None = None,
+    prec: str | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Shifted form of ``factor_logdet_q_pallas``: factor M + diag(dshift)
+    and emit (Σ log diag L̃, ‖w̃‖², L̃, w̃ = L̃⁻¹r).
+
+    The posterior-cache path uses this so the cache factors the
+    covariance through the SAME in-kernel assembly/rounding the
+    slice sampler evaluated it with (linalg.fma_logdet_q): a state the
+    sampler accepted as finite then factors finitely here too, where a
+    separately XLA-assembled K at the same hypers was observed to NaN
+    at the f32 conditioning edge (tests/test_tpu_smoke.py, r4).  The
+    caller rescales by amp2 analytically (linalg.cache_factor).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    k_batch = m0.shape[0]
+
+    def call(m, d, r):
+        return _shifted_factor_call(m, d, r, block, sub, interpret, prec)
+
+    if k_batch > MAX_BATCH:
+        zmat = jnp.zeros(m0.shape[1:], m0.dtype)
+        done = jnp.ones(dshift.shape[1:], dshift.dtype)
+        zero = jnp.zeros(resid.shape[1:], resid.dtype)
+        return _chunked(call, [m0, dshift, resid], k_batch,
+                        [zmat, done, zero], n_out=4)
+    return call(m0, dshift, resid)
+
+
+def tri_inverse_pallas(
+    lmat: jnp.ndarray,
+    block: int = BLOCK,
+    sub: int = SUB,
+    interpret: bool | None = None,
+    prec: str | None = None,
+) -> jnp.ndarray:
+    """X = L⁻¹ for a batch of lower-triangular [K, N, N] factors.
+
+    Accepts factors whose strictly-upper block tiles contain garbage
+    (``factor_logdet_q_pallas`` output); the result is a complete dense
+    matrix with exact zeros above the diagonal.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    k_batch = lmat.shape[0]
+
+    def call(lm):
+        return _tri_inverse_call(lm, block, sub, interpret, prec)
+
+    if k_batch > MAX_BATCH:
+        eye = jnp.eye(lmat.shape[-1], dtype=lmat.dtype)
+        return _chunked(call, [lmat], k_batch, [eye], n_out=1)
+    return call(lmat)
+
+
 def supported(n: int, on_tpu: bool | None = None) -> bool:
     """Shapes this kernel accepts on the current backend."""
     if on_tpu is None:
@@ -496,11 +826,12 @@ def supported(n: int, on_tpu: bool | None = None) -> bool:
     return on_tpu and n % BLOCK == 0 and n >= 2 * BLOCK
 
 
-def _chunked(fn, batch_args, k_batch, pad_args):
+def _chunked(fn, batch_args, k_batch, pad_args, n_out=2):
     """Run ``fn`` over MAX_BATCH-sized chunks of the leading axis.
 
     pad_args supply one identity-problem element per argument so padded
-    lanes factor I (finite, discarded)."""
+    lanes factor I (finite, discarded).  Outputs (n_out of them, each
+    with the chunked leading axis) are re-flattened and trimmed."""
     nchunk = -(-k_batch // MAX_BATCH)
     pad = nchunk * MAX_BATCH - k_batch
     if pad:
@@ -510,8 +841,14 @@ def _chunked(fn, batch_args, k_batch, pad_args):
         ]
     shaped = [a.reshape((nchunk, MAX_BATCH) + a.shape[1:])
               for a in batch_args]
-    ld, q = lax.map(lambda ab: fn(*ab), tuple(shaped))
-    return ld.reshape(-1)[:k_batch], q.reshape(-1)[:k_batch]
+    out = lax.map(lambda ab: fn(*ab), tuple(shaped))
+    if n_out == 1:
+        out = (out,)
+    flat = tuple(
+        a.reshape((nchunk * MAX_BATCH,) + a.shape[2:])[:k_batch]
+        for a in out
+    )
+    return flat[0] if n_out == 1 else flat
 
 
 def logdet_q_pallas(

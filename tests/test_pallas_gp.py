@@ -3,9 +3,16 @@
 The production dispatch (linalg.chol_logdet_q) only routes to the Pallas
 kernel on real TPU backends; these tests run the same kernel code in the
 Pallas TPU interpreter at small shapes, so CI (CPU) exercises the full
-manual-DMA factorization logic.  TPU-scale correctness and performance
-are recorded in docs/PROFILE_r3.md.
+manual-DMA factorization logic — in both eager-DMA mode (fast CI
+default) and ``on_wait`` mode with the interpreter's race detector,
+which models real DMA completion semantics and exercises the
+multi-buffer ordering (ADVICE r3 #1).  TPU-scale correctness is a
+committed profile artifact: every ``bin/profile_flagship.py`` run
+records fused-vs-XLA max rel err at the production lowering
+(docs/PROFILE_r4.md).
 """
+
+import contextlib
 
 import numpy as np
 import jax
@@ -14,6 +21,19 @@ import pytest
 
 from spearmint_tpu.core import linalg
 from spearmint_tpu.ops.pallas_gp import logdet_q_pallas
+
+
+@contextlib.contextmanager
+def _dma_mode(mode, races=False):
+    from spearmint_tpu.ops import pallas_gp
+
+    old = (pallas_gp.INTERPRET_DMA, pallas_gp.INTERPRET_DETECT_RACES)
+    pallas_gp.INTERPRET_DMA = mode
+    pallas_gp.INTERPRET_DETECT_RACES = races
+    try:
+        yield
+    finally:
+        pallas_gp.INTERPRET_DMA, pallas_gp.INTERPRET_DETECT_RACES = old
 
 
 def _reference(kmat, resid):
@@ -109,6 +129,123 @@ def test_shifted_kernel_rescale_matches_assembled_form():
     ld0, q0 = _reference(km, r)
     np.testing.assert_allclose(ld, ld0, rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(q, q0, rtol=2e-3, atol=2e-3)
+
+
+def test_kernel_on_wait_dma_with_race_detection():
+    """The triple-buffered load/store logic survives realistic DMA
+    semantics: copies land only at wait(), and the interpreter's
+    vector-clock race detector is armed (ADVICE r3 #1)."""
+    km, r = _case(2, 384, 17, seed=21)
+    with _dma_mode("on_wait", races=True):
+        ld, q = logdet_q_pallas(km, r, block=128, sub=32, interpret=True)
+    ld0, q0 = _reference(km, r)
+    np.testing.assert_allclose(ld, ld0, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(q, q0, rtol=2e-3, atol=2e-3)
+
+
+def test_factor_variant_emits_true_cholesky_and_solve():
+    """factor_logdet_q_pallas: same scalars as logdet_q_pallas plus the
+    factor L (valid on/below the diagonal) and w = L⁻¹r."""
+    from spearmint_tpu.ops.pallas_gp import factor_logdet_q_pallas
+
+    km, r = _case(3, 384, 25, seed=31)
+    ld, q, lmat, w = factor_logdet_q_pallas(km, r, block=128, sub=32,
+                                            interpret=True)
+    chol0 = np.linalg.cholesky(np.asarray(km))
+    w0 = np.stack([
+        np.linalg.solve(np.tril(c), rr)
+        for c, rr in zip(chol0, np.asarray(r))
+    ])
+    ld0, q0 = _reference(km, r)
+    np.testing.assert_allclose(ld, ld0, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(q, q0, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.tril(np.asarray(lmat)), chol0,
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(w, w0, rtol=2e-3, atol=2e-3)
+
+
+def test_tri_inverse_pallas_matches_dense_inverse():
+    """Blocked triangular inversion: X = L⁻¹ dense-complete (exact
+    zeros above the diagonal), tolerant of garbage upper tiles in L."""
+    from spearmint_tpu.ops.pallas_gp import (
+        factor_logdet_q_pallas, tri_inverse_pallas,
+    )
+    import scipy.linalg as spla
+
+    km, r = _case(2, 384, 11, seed=41)
+    _, _, lmat, _ = factor_logdet_q_pallas(km, r, block=128, sub=32,
+                                           interpret=True)
+    with _dma_mode("on_wait", races=True):
+        x = tri_inverse_pallas(lmat, block=128, sub=32, interpret=True)
+    x = np.asarray(x)
+    chol0 = np.linalg.cholesky(np.asarray(km))
+    x0 = np.stack([
+        spla.solve_triangular(c, np.eye(c.shape[0]), lower=True)
+        for c in chol0
+    ])
+    np.testing.assert_allclose(x, x0, rtol=3e-4, atol=3e-4)
+    assert float(np.max(np.abs(np.triu(x, 1)))) == 0.0
+
+
+def _cache_case(k_batch, n, seed):
+    rng = np.random.default_rng(seed)
+    feats = rng.standard_normal((k_batch, n, 8)).astype(np.float32)
+    m0 = np.einsum("knd,kmd->knm", feats, feats) / 8
+    m0 += 1e-3 * np.eye(n, dtype=np.float32)
+    amp2 = rng.uniform(0.5, 2.0, k_batch).astype(np.float32)
+    dadd = rng.uniform(0.1, 0.4, (k_batch, n)).astype(np.float32)
+    r = rng.standard_normal((k_batch, n)).astype(np.float32)
+    return (jnp.asarray(m0), jnp.asarray(amp2), jnp.asarray(dadd),
+            jnp.asarray(r))
+
+
+def test_cache_factor_cpu_path_is_the_old_cache_sequence():
+    """Off-TPU linalg.cache_factor ≡ assemble → cholesky → cho_solve →
+    tri_inverse bit-for-bit (golden-parity safety)."""
+    m0, amp2, dadd, r = _cache_case(1, 192, seed=51)
+    chol, linv, alpha = linalg.cache_factor(m0[0], amp2[0], dadd[0], r[0])
+    k = amp2[0] * m0[0] + dadd[0] * jnp.eye(192)
+    chol0 = linalg.cholesky(k)
+    alpha0 = linalg.chol_solve(chol0, r[0])
+    linv0 = linalg.tri_inverse(chol0)
+    assert np.array_equal(np.asarray(chol), np.asarray(chol0))
+    assert np.array_equal(np.asarray(alpha), np.asarray(alpha0))
+    assert np.array_equal(np.asarray(linv), np.asarray(linv0))
+
+
+def test_cache_factor_vmap_batches_whole_call():
+    m0, amp2, dadd, r = _cache_case(4, 192, seed=61)
+    chol, linv, alpha = jax.vmap(linalg.cache_factor)(m0, amp2, dadd, r)
+    for i in range(4):
+        k = amp2[i] * m0[i] + dadd[i] * jnp.eye(192)
+        c0 = linalg.cholesky(k)
+        np.testing.assert_allclose(np.asarray(chol[i]), np.asarray(c0),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(alpha[i]), np.asarray(linalg.chol_solve(c0, r[i])),
+            rtol=1e-3, atol=1e-4)
+
+
+def test_shifted_factor_emits_rescalable_factor():
+    """shifted_factor_logdet_q_pallas: √amp2·L̃ reproduces chol(K) and
+    L̃⁻ᵀw̃/amp2 reproduces K⁻¹r (the linalg.cache_factor rescaling)."""
+    from spearmint_tpu.ops.pallas_gp import shifted_factor_logdet_q_pallas
+    import scipy.linalg as spla
+
+    m0, amp2, dadd, r = _cache_case(2, 384, seed=71)
+    ld, q, l_sh, w_sh = shifted_factor_logdet_q_pallas(
+        m0, dadd / amp2[:, None], r, block=128, sub=32, interpret=True)
+    for i in range(2):
+        k = np.asarray(amp2[i] * m0[i] + dadd[i] * jnp.eye(384),
+                       np.float64)
+        c0 = np.linalg.cholesky(k)
+        chol = np.tril(np.asarray(l_sh[i])) * np.sqrt(float(amp2[i]))
+        np.testing.assert_allclose(chol, c0, rtol=2e-3, atol=2e-4)
+        a0 = spla.cho_solve((c0, True), np.asarray(r[i], np.float64))
+        a = spla.solve_triangular(
+            np.tril(np.asarray(l_sh[i])).T, np.asarray(w_sh[i]),
+            lower=False) / float(amp2[i])
+        np.testing.assert_allclose(a, a0, rtol=2e-2, atol=2e-3)
 
 
 def test_fma_logdet_q_cpu_matches_marginal_form():
