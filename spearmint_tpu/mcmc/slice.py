@@ -137,17 +137,18 @@ def _direction_slice(
     # fallback (shrink budget exhausted): z=0, i.e. stay at x0 (density
     # lp0) — the reference raises instead.
     zi = jnp.asarray(0, jnp.int32)
-    _, _, _, z_final, llh_final, _, _, _ = lax.while_loop(
+    _, _, _, z_final, llh_final, n_lo, n_up, n_sh = lax.while_loop(
         cond, body,
         (phase0, lower0, upper0, zero, lp0, zi, zi, zi),
     )
-    return x0 + z_final * direction, llh_final
+    counts = jnp.stack([n_lo, n_up, n_sh])
+    return x0 + z_final * direction, llh_final, counts
 
 
 @partial(
     jax.jit,
     static_argnames=("logprob", "sigma", "step_out", "max_steps_out",
-                     "max_shrink", "compwise", "with_lp"),
+                     "max_shrink", "compwise", "with_lp", "with_counts"),
 )
 def slice_sample(
     key: jax.Array,
@@ -160,6 +161,7 @@ def slice_sample(
     compwise: bool = False,
     lp0: jnp.ndarray | None = None,
     with_lp: bool = False,
+    with_counts: bool = False,
 ):
     """One slice-sampling sweep from x0 under ``logprob``.
 
@@ -172,6 +174,13 @@ def slice_sample(
     initial O(n³) evaluation (chains.sample_hypers carries it across
     the joint→ls→next-sweep sequence).  ``with_lp=True`` additionally
     returns ``logprob`` at the returned point, enabling that carry.
+
+    ``with_counts=True`` appends the move's loop counters — int32
+    [3] (lower step-outs, upper step-outs, shrink evaluations), or
+    [D, 3] compwise — for budget/lockstep instrumentation
+    (bin/profile_slice_counts.py; each move's total logprob evals =
+    lo + up + sh + 2 when stepping out on a finite slice, sh when the
+    expansion was skipped).
     """
     x0 = jnp.asarray(x0)
     dim = x0.shape[0]
@@ -184,25 +193,36 @@ def slice_sample(
             x, lp = carry
             k, d = inp
             direction = (jnp.arange(dim) == d).astype(x0.dtype)
-            x_new, lp_new = _direction_slice(
+            x_new, lp_new, counts = _direction_slice(
                 k, x, direction, logprob, sigma, step_out, max_steps_out,
                 max_shrink, lp0=lp,
             )
-            return (x_new, lp_new), None
+            return (x_new, lp_new), counts
 
         if lp0 is None:
             lp0 = logprob(x0)
         lp_init = jnp.where(jnp.isnan(lp0), -jnp.inf, lp0)
-        (x_final, lp_final), _ = lax.scan(body, (x0, lp_init), (keys, order))
-        return (x_final, lp_final) if with_lp else x_final
+        (x_final, lp_final), counts = lax.scan(
+            body, (x0, lp_init), (keys, order))
+        out = (x_final,)
+        if with_lp:
+            out += (lp_final,)
+        if with_counts:
+            out += (counts,)
+        return out if len(out) > 1 else x_final
     else:
         k_dir, k_move = jax.random.split(key)
         direction = jax.random.normal(k_dir, (dim,), dtype=x0.dtype)
         direction = direction / jnp.sqrt(jnp.sum(direction**2))
         if lp0 is not None:
             lp0 = jnp.where(jnp.isnan(lp0), -jnp.inf, lp0)
-        x_new, lp_new = _direction_slice(
+        x_new, lp_new, counts = _direction_slice(
             k_move, x0, direction, logprob, sigma, step_out, max_steps_out,
             max_shrink, lp0=lp0,
         )
-        return (x_new, lp_new) if with_lp else x_new
+        out = (x_new,)
+        if with_lp:
+            out += (lp_new,)
+        if with_counts:
+            out += (counts,)
+        return out if len(out) > 1 else x_new
