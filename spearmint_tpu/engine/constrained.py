@@ -59,9 +59,15 @@ class ConstrainedResult(NamedTuple):
 
 
 def _constraint_cov(x, mask, ls, amp2, kernel):
+    from spearmint_tpu.core.likelihood import _effective_jitter
+
     n = x.shape[0]
     eye = jnp.eye(n, dtype=x.dtype)
-    k = amp2 * (kernel(x, x, ls) + JITTER * eye)
+    # _effective_jitter, not the bare 1e-6: the constraint GP has no
+    # noise term (exact latent values), so at large n its covariance
+    # sits right at the f32 factorization edge without the
+    # conditioning floor the value GP gets (identical below n=2048).
+    k = amp2 * (kernel(x, x, ls) + _effective_jitter(n) * eye)
     return linalg.mask_psd_matrix(k, mask)
 
 
@@ -158,17 +164,57 @@ def burnin_constraint_states(
     return jax.vmap(burn)(jax.random.split(key, chains), constraint)
 
 
-def _p_valid_at(state: ConstraintState, x, mask, cand, kernel):
+class ConstraintCache(NamedTuple):
+    """Per-sample constraint-GP factorization reused across acquisition
+    evaluations (the constraint-side analogue of ei.PosteriorCache —
+    before r4 every acquisition point evaluation refactored the n×n
+    constraint covariance, which dominated the constrained suggestion:
+    each of the L-BFGS refinement's point evaluations paid a fresh
+    batched Cholesky)."""
+
+    state: ConstraintState
+    linv: jnp.ndarray   # (N, N) explicit L⁻¹ of the constraint cov
+    alpha: jnp.ndarray  # (N,) K⁻¹ ff
+
+
+def _make_constraint_cache(state: ConstraintState, x, mask, kernel):
+    m0 = _constraint_unit_cov(x, mask, state.ls, kernel)
+    # K = amp2·M exactly (no noise term; padded diag = 1): dadd = 1 on
+    # padded rows only, matching _constraint_cov's masked identity.
+    dadd = jnp.where(mask, 0.0, 1.0).astype(x.dtype)
+    _, linv, alpha = linalg.cache_factor(
+        m0, jnp.asarray(state.amp2, x.dtype), dadd, state.ff)
+    return ConstraintCache(state=state, linv=linv, alpha=alpha)
+
+
+def _constraint_unit_cov(x, mask, ls, kernel):
+    from spearmint_tpu.core.likelihood import _effective_jitter
+
+    n = x.shape[0]
+    eye = jnp.eye(n, dtype=x.dtype)
+    k = kernel(x, x, ls) + _effective_jitter(n) * eye
+    both = mask[:, None] & mask[None, :]
+    return jnp.where(both, k, 0.0)
+
+
+def _p_valid_from_cache(cache: ConstraintCache, x, mask, cand, kernel):
     """Probit predictive feasibility probability at candidate points."""
-    cov = _constraint_cov(x, mask, state.ls, state.amp2, kernel)
-    chol = linalg.cholesky(cov)
+    state = cache.state
     kx = state.amp2 * kernel(x, cand, state.ls) * mask[:, None]
-    alpha = linalg.chol_solve(chol, state.ff)
-    mu = jnp.matmul(kx.T, alpha, precision=jax.lax.Precision.HIGHEST)
-    beta = linalg.tri_solve(chol, kx)
+    mu = jnp.matmul(kx.T, cache.alpha,
+                    precision=jax.lax.Precision.HIGHEST)
+    beta = jnp.matmul(cache.linv, kx, precision=jax.lax.Precision.HIGH)
     var = state.amp2 * (1.0 + JITTER) - jnp.sum(beta * beta, axis=0)
     var = jnp.maximum(var, 1e-10)
     return jax.scipy.stats.norm.cdf(mu / jnp.sqrt(1.0 + var))
+
+
+def _p_valid_at(state: ConstraintState, x, mask, cand, kernel):
+    """One-shot probit feasibility (tests / small paths): build the
+    cache and evaluate."""
+    return _p_valid_from_cache(
+        _make_constraint_cache(state, x, mask, kernel), x, mask, cand,
+        kernel)
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -234,6 +280,14 @@ def suggest_step_constrained(
     c_last, c_samples = _chunked_vmap(con_chain, config.chain_chunk)(
         jax.random.split(k_con, chains), constraint)
     c_flat = _flatten_samples(c_samples, s)
+    # one constraint-GP factorization per sample, reused by every
+    # acquisition evaluation (grid sweep AND each L-BFGS point eval —
+    # without this the refinement loop refactored the n×n constraint
+    # covariance per step, dominating the constrained suggestion)
+    c_caches = _chunked_vmap(
+        lambda c: _make_constraint_cache(c, x, obs_mask, kernel),
+        config.chain_chunk,
+    )(c_flat)
 
     def acq_at(pts):
         eis = _chunked_vmap(
@@ -241,9 +295,9 @@ def suggest_step_constrained(
             config.chain_chunk,
         )(caches)                                        # [S, C']
         pv = _chunked_vmap(
-            lambda c: _p_valid_at(c, x, obs_mask, pts, kernel),
+            lambda c: _p_valid_from_cache(c, x, obs_mask, pts, kernel),
             config.chain_chunk,
-        )(c_flat)                                        # [S, C']
+        )(c_caches)                                      # [S, C']
         return eis * pv, pv
 
     acq_samples, pv_samples = acq_at(cand)

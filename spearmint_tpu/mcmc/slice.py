@@ -27,8 +27,18 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+# Loop budgets, cited to measurement (bin/profile_slice_counts.py on
+# the flagship config, n=5000 × 10 chains from un-burned states — the
+# worst-count regime; docs/PROFILE_r4.md):
+#   * step-out expansions: p99 = 1, max = 1 — the reference's
+#     max_steps_out=1000 never binds; kept verbatim for parity.
+#   * shrink evaluations: p99.9 = 28 (joint move), 18 (ls components);
+#     MAX_SHRINK = 64 ≈ 2.3× the worst observed p99.9.  The cap exists
+#     only because the reference's unbounded shrink loop cannot be
+#     compiled (lax.while_loop needs a bound for the z=0 fallback);
+#     it costs nothing when unused — the loop exits on acceptance.
 MAX_STEPS_OUT = 1000
-MAX_SHRINK = 64  # shrink interval halves in expectation; 64 is plenty
+MAX_SHRINK = 64
 
 
 # Phase machine for the single-call-site move loop.
