@@ -14,9 +14,9 @@ outcomes included when present, exactly as the reference's augmented-data
 call.  EI under multiple hyperparameter samples is averaged by the caller
 (vmap over a leading hypers axis).
 
-On TPU the n×C cross-kernel + triangular solve dominates; both map to
-MXU-friendly batched dense ops, and the cross-kernel has a Pallas
-implementation in ``spearmint_tpu/ops``.
+On TPU the caches come from the fused Pallas factorization pair
+(linalg.cache_factor / factor_solve → ops/pallas_gp) and every EI
+evaluation is then a batched GEMM against the materialized L⁻¹.
 """
 
 from __future__ import annotations
@@ -31,8 +31,8 @@ from spearmint_tpu.core.kernels import matern52
 from spearmint_tpu.core.likelihood import (
     GPHypers,
     JITTER,
-    cov_matrix,
     cross_cov,
+    unit_cov_matrix,
 )
 
 
@@ -68,24 +68,19 @@ def make_cache(
     with_inverse: bool = False,
 ) -> PosteriorCache:
     resid = jnp.where(mask, y - hypers.mean, 0.0)
+    # Both cache forms factor through the SAME shifted assembly the
+    # sampler evaluated these hypers with (linalg.cache_factor /
+    # factor_solve): on TPU the factorization is produced by the fused
+    # Pallas kernel (plus the blocked-inversion kernel for L⁻¹), not
+    # redone by XLA; off-TPU both are bit-identical to the r3
+    # assemble → cholesky → cho_solve [→ tri_inverse] sequence.
+    m0 = unit_cov_matrix(x, mask, hypers.ls, kernel)
+    dadd = jnp.where(mask, hypers.noise, jnp.asarray(1.0, x.dtype))
+    amp2 = jnp.asarray(hypers.amp2, x.dtype)
     if with_inverse:
-        # One bundled call: on TPU the factorization is NOT redone by
-        # XLA — two Pallas kernels produce L, L⁻¹ and α directly,
-        # factoring through the SAME shifted assembly the sampler
-        # evaluated these hypers with (linalg.cache_factor); off-TPU
-        # it is exactly the assemble → cholesky → cho_solve →
-        # tri_inverse sequence used before.
-        from spearmint_tpu.core.likelihood import unit_cov_matrix
-
-        m0 = unit_cov_matrix(x, mask, hypers.ls, kernel)
-        dadd = jnp.where(mask, hypers.noise, jnp.asarray(1.0, x.dtype))
-        chol, linv, alpha = linalg.cache_factor(
-            m0, jnp.asarray(hypers.amp2, x.dtype), dadd, resid)
+        chol, linv, alpha = linalg.cache_factor(m0, amp2, dadd, resid)
     else:
-        k = cov_matrix(x, mask, hypers.amp2, hypers.noise, hypers.ls,
-                       kernel)
-        chol = linalg.cholesky(k)
-        alpha = linalg.chol_solve(chol, resid)
+        chol, alpha = linalg.factor_solve(m0, amp2, dadd, resid)
         linv = None
     best = linalg.masked_min(y, mask)
     return PosteriorCache(chol=chol, alpha=alpha, best=best, hypers=hypers,

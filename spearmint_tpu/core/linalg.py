@@ -368,6 +368,62 @@ def _fused_cache_factor(m0, amp2, dadd, resid):
     return chol, linv, alpha
 
 
+@jax.custom_batching.custom_vmap
+def factor_solve(m0: jnp.ndarray, amp2: jnp.ndarray, dadd: jnp.ndarray,
+                 resid: jnp.ndarray):
+    """(L, K⁻¹ resid) for K = amp2·m0 + diag(dadd) — the no-L⁻¹
+    posterior-cache form (the >8k-pad memory policy's
+    ``explicit_inverse=False`` route).
+
+    Same dispatch as ``cache_factor`` minus the triangular inversion:
+    on TPU the fused shifted kernel emits L̃ and w̃ = L̃⁻¹r in one
+    launch and α = L̃⁻ᵀw̃/amp2 is one backward trisolve; off-TPU it is
+    bit-identical to the r3 sequence (assemble → cholesky → cho_solve).
+    L's tiles strictly above the block diagonal contain garbage on the
+    fused path — triangular consumers only.
+    """
+    if _fused_ok(m0.shape[-1]):
+        chol, alpha = _fused_factor_solve(
+            m0[None], amp2[None], dadd[None], resid[None])
+        return chol[0], alpha[0]
+    k = amp2 * m0 + dadd * jnp.eye(m0.shape[-1], dtype=m0.dtype)
+    chol = cholesky(k)
+    alpha = chol_solve(chol, resid)
+    return chol, alpha
+
+
+def _fused_factor_solve(m0, amp2, dadd, resid):
+    from spearmint_tpu.ops.pallas_gp import shifted_factor_logdet_q_pallas
+
+    _, _, l_sh, w_sh = shifted_factor_logdet_q_pallas(
+        m0, dadd / amp2[:, None], resid)
+    s = jnp.sqrt(amp2)
+    chol = l_sh * s[:, None, None]
+    # α = (1/amp2)·L̃⁻ᵀ w̃ (backward substitution; reads lower tri only)
+    alpha = jax.lax.linalg.triangular_solve(
+        l_sh, w_sh[..., None], left_side=True, lower=True,
+        transpose_a=True)[..., 0] / amp2[:, None]
+    return chol, alpha
+
+
+@factor_solve.def_vmap
+def _factor_solve_vmap(axis_size, in_batched, m0, amp2, dadd, resid):
+    args = [m0, amp2, dadd, resid]
+    args = [
+        a if b else jnp.broadcast_to(a, (axis_size,) + a.shape)
+        for a, b in zip(args, in_batched)
+    ]
+    m0, amp2, dadd, resid = args
+    if _fused_ok(m0.shape[-1]):
+        chol, alpha = _fused_factor_solve(m0, amp2, dadd, resid)
+    else:
+        eye = jnp.eye(m0.shape[-1], dtype=m0.dtype)
+        k = amp2[:, None, None] * m0 + dadd[:, :, None] * eye
+        chol = cholesky(k)
+        alpha = jax.vmap(chol_solve)(chol, resid)
+    return (chol, alpha), (True, True)
+
+
 @cache_factor.def_vmap
 def _cache_factor_vmap(axis_size, in_batched, m0, amp2, dadd, resid):
     args = [m0, amp2, dadd, resid]

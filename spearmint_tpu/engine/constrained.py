@@ -300,9 +300,19 @@ def suggest_step_constrained(
         )(c_caches)                                      # [S, C']
         return eis * pv, pv
 
+    # NaN-robust sample average (see engine/suggest.py): exclude samples
+    # whose cache factorization failed at the f32 conditioning edge.
+    ok = (jnp.all(jnp.isfinite(caches.alpha.reshape(s, -1)), axis=1)
+          & jnp.all(jnp.isfinite(c_caches.alpha.reshape(s, -1)), axis=1))
+    n_ok = jnp.maximum(jnp.sum(ok.astype(x.dtype)), 1.0)
+
     acq_samples, pv_samples = acq_at(cand)
-    acq_mean = jnp.mean(acq_samples, axis=0)
-    pv_mean = jnp.mean(pv_samples, axis=0)
+    acq_samples = jnp.where(ok[:, None] & jnp.isfinite(acq_samples),
+                            acq_samples, 0.0)
+    pv_samples = jnp.where(ok[:, None] & jnp.isfinite(pv_samples),
+                           pv_samples, 0.0)
+    acq_mean = jnp.sum(acq_samples, axis=0) / n_ok
+    pv_mean = jnp.sum(pv_samples, axis=0) / n_ok
     acq_masked = jnp.where(cand_mask, acq_mean, -jnp.inf)
     best_cand = jnp.argmax(acq_masked)
     best_cand_acq = acq_masked[best_cand]
@@ -314,7 +324,8 @@ def suggest_step_constrained(
 
         def neg_acq(pt):
             a, _ = acq_at(pt[None])
-            return -jnp.mean(a[:, 0])
+            a = jnp.where(ok & jnp.isfinite(a[:, 0]), a[:, 0], 0.0)
+            return -jnp.sum(a) / n_ok
 
         dim = cand.shape[1]
         res = minimize_lbfgs_b(

@@ -158,8 +158,16 @@ def suggest_step_per_sec(
         # division blow-ups for predicted sub-millisecond jobs.
         return eis / jnp.maximum(jnp.exp(mus), 1e-3)
 
+    # NaN-robust sample average (see engine/suggest.py): exclude samples
+    # whose cache factorization failed at the f32 conditioning edge.
+    ok = (jnp.all(jnp.isfinite(caches.alpha.reshape(s, -1)), axis=1)
+          & jnp.all(jnp.isfinite(t_caches.alpha.reshape(s, -1)), axis=1))
+    n_ok = jnp.maximum(jnp.sum(ok.astype(x.dtype)), 1.0)
+
     ei_samples = ei_per_s_at(cand)           # [S, C]
-    ei_mean = jnp.mean(ei_samples, axis=0)
+    ei_samples = jnp.where(ok[:, None] & jnp.isfinite(ei_samples),
+                           ei_samples, 0.0)
+    ei_mean = jnp.sum(ei_samples, axis=0) / n_ok
     ei_masked = jnp.where(cand_mask, ei_mean, -jnp.inf)
     best_cand = jnp.argmax(ei_masked)
     best_cand_ei = ei_masked[best_cand]
@@ -170,7 +178,9 @@ def suggest_step_per_sec(
         starts = cand[top_idx]
 
         def neg_avg(pt):
-            return -jnp.mean(ei_per_s_at(pt[None])[:, 0])
+            eis = ei_per_s_at(pt[None])[:, 0]
+            eis = jnp.where(ok & jnp.isfinite(eis), eis, 0.0)
+            return -jnp.sum(eis) / n_ok
 
         dim = cand.shape[1]
         res = minimize_lbfgs_b(

@@ -140,3 +140,49 @@ def test_memory_policy_resolution(tmp_path):
     ch2 = GPEIOptChooser(str(tmp_path), chains=10, chain_chunk=5,
                          explicit_inverse=1)
     assert ch2._memory_policy(10240) == (5, True)
+
+
+def test_nan_sample_excluded_from_ei_average(tiny_problem, monkeypatch):
+    """A sample whose cache factorization fails (NaN alpha, e.g. at the
+    f32 conditioning edge on TPU) must be excluded from the EI average
+    instead of poisoning every candidate (engine/suggest.py ok-mask)."""
+    from spearmint_tpu.acquire import ei as ei_mod
+
+    p = tiny_problem
+    cfg = SuggestConfig(mcmc_iters=2, grid_subset=2, lbfgs_iters=5)
+    hypers = init_chain_states(p["y"], p["mask"], 2, chains=2)
+    args = (p["x"], p["y"], p["mask"], p["pend"], p["pend_mask"],
+            p["cand"], p["cand_mask"], cfg)
+    clean = suggest_step(jax.random.PRNGKey(3), hypers, *args)
+    assert np.isfinite(np.asarray(clean.ei)).all()
+
+    orig = ei_mod.make_cache
+    calls = {"n": 0}
+
+    def poisoned(x, y, mask, h, kernel, with_inverse=False):
+        c = orig(x, y, mask, h, kernel, with_inverse=with_inverse)
+        calls["n"] += 1
+        # NaN exactly one sample's alpha: under the S-axis vmap the
+        # tracer sees all samples at once, so poison via a value-level
+        # predicate on the sample's amp2 ordering instead — simplest:
+        # NaN the lane with the largest amp2.
+        import jax.numpy as jnp
+
+        bad = h.amp2 == jnp.max(h.amp2)
+        alpha = jnp.where(bad[..., None] if bad.ndim else bad,
+                          jnp.nan, c.alpha)
+        return c._replace(alpha=alpha)
+
+    monkeypatch.setattr(ei_mod, "make_cache", poisoned)
+    # a distinct static config forces a fresh trace (the clean call's
+    # compiled executable would otherwise bypass the monkeypatch)
+    cfg2 = SuggestConfig(mcmc_iters=2, grid_subset=3, lbfgs_iters=5)
+    args2 = args[:-1] + (cfg2,)
+    res = suggest_step(jax.random.PRNGKey(3), hypers, *args2)
+    assert calls["n"] >= 1
+    ei = np.asarray(res.ei)
+    assert np.isfinite(ei).all(), "NaN sample leaked into the EI average"
+    assert np.isfinite(float(res.ei_opt))
+    # the finite samples still produce a usable (finite, in-bounds) pick
+    assert np.all((np.asarray(res.x_opt) >= 0)
+                  & (np.asarray(res.x_opt) <= 1))
