@@ -98,21 +98,21 @@ def posterior_from_cache(
     h = cache.hypers
     kx = cross_cov(x, cand, h.amp2, h.ls, kernel)
     kx = kx * mask[:, None]  # padded observations contribute nothing
-    # Precision.HIGH (bf16_3x) on both projections — never single-pass
-    # bf16: var is the near-cancelling difference amp2·(1+ε) − Σβ²
-    # (var/amp2 reaches 1e-4 at realistic hypers), and u = (best−mu)/σ
-    # divides by its square root — bf16 β made variances NEGATIVE on
-    # TPU (tests/test_tpu_smoke.py, r4).  bf16_3x keeps ~200×
-    # headroom below the smallest meaningful var (validated against
-    # float64 golden math by the TPU smoke) at half HIGHEST's MXU cost
-    # on these, the two hottest GEMMs of the EI/L-BFGS phases
-    # (measured +0.3 s of flagship latency at HIGHEST).
+    # Precision.HIGHEST on both projections: var is the near-cancelling
+    # difference amp2·(1+ε) − Σβ² (var/amp2 reaches 1e-4 at realistic
+    # hypers), and u = (best−mu)/σ divides by its square root.  Raw
+    # bf16 β made variances NEGATIVE on TPU, and bf16_3x ("high") was
+    # measured at 1.5e-4 absolute on Σβ² — up to 36% relative on the
+    # smallest meaningful variances (tests/test_tpu_smoke.py vs float64
+    # golden math, r4).  HIGHEST costs only ~0.04 s of flagship latency
+    # over bf16_3x in like-for-like bench runs — calibrated posterior
+    # uncertainty is the whole point of fully-Bayesian BO, so f32 wins.
     # tensordot handles both (N,) → (C,) and (F, N) → (F, C) alphas
     mu = h.mean + jnp.tensordot(cache.alpha, kx, axes=((-1,), (0,)),
-                                precision=jax.lax.Precision.HIGH)
+                                precision=jax.lax.Precision.HIGHEST)
     if cache.linv is not None:
         beta = jnp.matmul(cache.linv, kx,
-                          precision=jax.lax.Precision.HIGH)
+                          precision=jax.lax.Precision.HIGHEST)
     else:
         beta = linalg.tri_solve(cache.chol, kx)
     var = h.amp2 * (1.0 + JITTER) - jnp.sum(beta * beta, axis=0)

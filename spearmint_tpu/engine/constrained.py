@@ -203,6 +203,9 @@ def _p_valid_from_cache(cache: ConstraintCache, x, mask, cand, kernel):
     kx = state.amp2 * kernel(x, cand, state.ls) * mask[:, None]
     mu = jnp.matmul(kx.T, cache.alpha,
                     precision=jax.lax.Precision.HIGHEST)
+    # bf16_3x is sufficient HERE (unlike EI's variance): the probit
+    # variance only enters as 1+σ² ≥ 1, so a ~1e-4 absolute β² error
+    # cannot blow up the feasibility probability.
     beta = jnp.matmul(cache.linv, kx, precision=jax.lax.Precision.HIGH)
     var = state.amp2 * (1.0 + JITTER) - jnp.sum(beta * beta, axis=0)
     var = jnp.maximum(var, 1e-10)

@@ -186,3 +186,64 @@ def test_constrained_chunked_matches_unchunked():
                                np.asarray(chunked.acq),
                                rtol=2e-4, atol=1e-7)
     assert int(base.best_cand) == int(chunked.best_cand)
+
+
+def test_constrained_acquisition_formula_matches_golden_at_fixed_state():
+    """Deterministic parity: the probit-weighted acquisition
+    EI_valid(x)·Φ(μ_f/√(1+σ²_f)) at one fixed (value hypers, constraint
+    state) equals the independently computed float64 NumPy formula."""
+    import scipy.linalg as spla
+
+    from spearmint_tpu.acquire import ei as jei
+    from spearmint_tpu.core.kernels import matern52
+    from spearmint_tpu.core.likelihood import GPHypers
+    from spearmint_tpu.engine.constrained import (
+        ConstraintState, _p_valid_at,
+    )
+    from spearmint_tpu.golden import numpy_ref as g
+
+    rng = np.random.RandomState(9)
+    n, pad, d, c = 13, 16, 2, 48
+    x = rng.rand(n, d)
+    valid = rng.rand(n) > 0.4
+    y = np.where(valid, np.sin(4 * x[:, 0]) + 0.1 * rng.randn(n), 0.0)
+    ff = np.where(valid, np.abs(rng.randn(n)), -np.abs(rng.randn(n)))
+    cand = rng.rand(c, d)
+    amp2_c, ls_c = 1.4, np.array([0.8, 0.5])
+    hv = dict(mean=float(y[valid].mean()), amp2=1.1, noise=5e-3,
+              ls=np.array([0.6, 0.9]))
+
+    # golden: EI on valid observations only
+    want_ei = g.compute_ei(x[valid], y[valid], cand, **hv)
+    # golden: probit feasibility from the latent GP over ALL points
+    kcc = amp2_c * (g.matern52(x, x, ls_c) + 1e-6 * np.eye(n))
+    kxc = amp2_c * g.matern52(x, cand, ls_c)
+    chol = spla.cholesky(kcc, lower=True)
+    alpha = spla.cho_solve((chol, True), ff)
+    mu_f = kxc.T @ alpha
+    beta = spla.solve_triangular(chol, kxc, lower=True)
+    var_f = amp2_c * (1 + 1e-6) - (beta ** 2).sum(0)
+    want_pv = sps.norm.cdf(mu_f / np.sqrt(1.0 + np.maximum(var_f, 1e-10)))
+    want = want_ei * want_pv
+
+    xp = np.zeros((pad, d), np.float32); xp[:n] = x
+    yp = np.zeros(pad, np.float32); yp[:n] = y
+    ffp = np.zeros(pad, np.float32); ffp[:n] = ff
+    obs = np.arange(pad) < n
+    vmask = np.zeros(pad, bool); vmask[:n] = valid
+    xj, yj = jnp.array(xp), jnp.array(yp)
+    cj = jnp.array(cand, jnp.float32)
+    hyp = GPHypers(jnp.float32(hv["mean"]), jnp.float32(hv["amp2"]),
+                   jnp.float32(hv["noise"]),
+                   jnp.array(hv["ls"], jnp.float32))
+    state = ConstraintState(ls=jnp.array(ls_c, jnp.float32),
+                            amp2=jnp.float32(amp2_c),
+                            ff=jnp.array(ffp))
+
+    ei = np.asarray(jei.compute_ei(xj, yj, jnp.array(vmask), hyp, cj,
+                                   matern52))
+    pv = np.asarray(_p_valid_at(state, xj, jnp.array(obs), cj, matern52))
+    got = ei * pv
+    np.testing.assert_allclose(pv, want_pv, rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(got, want, rtol=5e-3,
+                               atol=5e-4 * np.abs(want).max())

@@ -112,3 +112,51 @@ def test_per_sec_chunked_with_pending_fantasies():
         jnp.array(cand), jnp.ones(32, bool), cfg,
     )
     assert np.all(np.isfinite(np.asarray(res.ei_per_s)))
+
+
+def test_ei_per_sec_formula_matches_golden_at_fixed_hypers():
+    """Deterministic parity: engine EI/sec at one fixed dual
+    hyperparameter state equals golden EI / exp(E[log-duration])
+    computed independently in float64 NumPy (GPEIperSecChooser's
+    compute_ei_per_s, SURVEY.md §2 #4)."""
+    from spearmint_tpu.acquire import ei as jei
+    from spearmint_tpu.core.likelihood import GPHypers
+    from spearmint_tpu.core.kernels import matern52
+    from spearmint_tpu.golden import numpy_ref as g
+
+    rng = np.random.RandomState(4)
+    n, pad, d, c = 14, 16, 2, 64
+    x = rng.rand(n, d)
+    y = np.sin(4 * x[:, 0]) + 0.1 * rng.randn(n)
+    log_d = 2.0 * x[:, 1] + 0.05 * rng.randn(n)
+    cand = rng.rand(c, d)
+    hv = dict(mean=float(y.mean()), amp2=1.2, noise=2e-3,
+              ls=np.array([0.7, 0.4]))
+    ht = dict(mean=float(log_d.mean()), amp2=0.8, noise=1e-3,
+              ls=np.array([1.1, 0.6]))
+
+    want_ei = g.compute_ei(x, y, cand, **hv)
+    mu_t, _ = g.posterior(x, log_d, cand, **ht)
+    want = want_ei / np.maximum(np.exp(mu_t), 1e-3)
+
+    xp = np.zeros((pad, d), np.float32); xp[:n] = x
+    yp = np.zeros(pad, np.float32); yp[:n] = y
+    tp = np.zeros(pad, np.float32); tp[:n] = log_d
+    mask = np.arange(pad) < n
+    xj, yj, tj, mj = (jnp.array(xp), jnp.array(yp), jnp.array(tp),
+                      jnp.array(mask))
+    cj = jnp.array(cand, jnp.float32)
+
+    def H(h):
+        return GPHypers(jnp.float32(h["mean"]), jnp.float32(h["amp2"]),
+                        jnp.float32(h["noise"]),
+                        jnp.array(h["ls"], jnp.float32))
+
+    ei = np.asarray(jei.compute_ei(xj, yj, mj, H(hv), cj, matern52))
+    cache_t = jei.make_cache(xj, tj, mj, H(ht), matern52)
+    mu = np.asarray(jei.posterior_from_cache(cache_t, xj, mj, cj,
+                                             matern52)[0])
+    got = ei / np.maximum(np.exp(mu), 1e-3)
+    np.testing.assert_allclose(got, want, rtol=3e-3,
+                               atol=3e-4 * np.abs(want).max())
+    assert int(np.argmax(got)) == int(np.argmax(want))
