@@ -485,8 +485,8 @@ def _call(kmat, extra_inputs, resid, block, sub, interpret, prec,
     k_batch, n, _ = kmat.shape
     # Shape preconditions (tracing-time; violating any silently corrupts
     # the factorization rather than erroring inside Mosaic):
-    if n % block != 0 or n < 2 * block:
-        raise ValueError(f"n={n} must be a multiple of block={block}, ≥2×")
+    if n % block != 0:
+        raise ValueError(f"n={n} must be a multiple of block={block}")
     if block % sub != 0:
         raise ValueError(f"block={block} must be a multiple of sub={sub}")
     if sub % 4 != 0:
@@ -688,8 +688,8 @@ def _make_inv_kernel(nb, block, sub, prec):
     jax.jit, static_argnames=("block", "sub", "interpret", "prec"))
 def _tri_inverse_call(lmat, block, sub, interpret, prec=None):
     k_batch, n, _ = lmat.shape
-    if n % block != 0 or n < 2 * block:
-        raise ValueError(f"n={n} must be a multiple of block={block}, ≥2×")
+    if n % block != 0:
+        raise ValueError(f"n={n} must be a multiple of block={block}")
     if block % sub != 0:
         raise ValueError(f"block={block} must be a multiple of sub={sub}")
     nb = n // block
@@ -823,7 +823,9 @@ def supported(n: int, on_tpu: bool | None = None) -> bool:
     """Shapes this kernel accepts on the current backend."""
     if on_tpu is None:
         on_tpu = jax.default_backend() == "tpu"
-    return on_tpu and n % BLOCK == 0 and n >= 2 * BLOCK
+    # nb=1 (n == BLOCK) is a valid degenerate case: diagonal-only
+    # factorization, no panel/trailing phases (their loops run 0 times).
+    return on_tpu and n % BLOCK == 0
 
 
 def _chunked(fn, batch_args, k_batch, pad_args, n_out=2):

@@ -288,3 +288,27 @@ def test_chol_logdet_q_vmap_broadcasts_unbatched_resid():
     ld0, q0 = _reference(km, jnp.broadcast_to(r0, r.shape))
     np.testing.assert_allclose(ld, ld0, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(q, q0, rtol=1e-3, atol=1e-3)
+
+
+def test_single_block_matrix_nb1():
+    """n == block (nb=1): the panel/trailing loops run zero times and
+    the kernel degenerates to the in-VMEM diagonal factorization — the
+    shape hartmann-class problems (pad 512) hit in production."""
+    from spearmint_tpu.ops.pallas_gp import (
+        factor_logdet_q_pallas, tri_inverse_pallas,
+    )
+    import scipy.linalg as spla
+
+    km, r = _case(3, 128, 9, seed=81)
+    ld, q, lmat, w = factor_logdet_q_pallas(km, r, block=128, sub=32,
+                                            interpret=True)
+    ld0, q0 = _reference(km, r)
+    np.testing.assert_allclose(ld, ld0, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(q, q0, rtol=2e-3, atol=2e-3)
+    x = np.asarray(tri_inverse_pallas(lmat, block=128, sub=32,
+                                      interpret=True))
+    chol0 = np.linalg.cholesky(np.asarray(km))
+    x0 = np.stack([
+        spla.solve_triangular(c, np.eye(128), lower=True) for c in chol0
+    ])
+    np.testing.assert_allclose(x, x0, rtol=3e-4, atol=3e-4)
