@@ -729,7 +729,7 @@ def _tri_inverse_call(lmat, block, sub, interpret, prec=None):
 def factor_logdet_q_pallas(
     kmat: jnp.ndarray,
     resid: jnp.ndarray,
-    block: int = BLOCK,
+    block: int | None = None,
     sub: int = SUB,
     interpret: bool | None = None,
     prec: str | None = None,
@@ -742,6 +742,9 @@ def factor_logdet_q_pallas(
     input values — triangular consumers only).  Batches above
     MAX_BATCH are chunked.
     """
+    if block is None:
+        block = _pick_block(kmat.shape[-1])
+        sub = min(sub, block)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     k_batch = kmat.shape[0]
@@ -761,7 +764,7 @@ def shifted_factor_logdet_q_pallas(
     m0: jnp.ndarray,
     dshift: jnp.ndarray,
     resid: jnp.ndarray,
-    block: int = BLOCK,
+    block: int | None = None,
     sub: int = SUB,
     interpret: bool | None = None,
     prec: str | None = None,
@@ -777,6 +780,9 @@ def shifted_factor_logdet_q_pallas(
     at the f32 conditioning edge (tests/test_tpu_smoke.py, r4).  The
     caller rescales by amp2 analytically (linalg.cache_factor).
     """
+    if block is None:
+        block = _pick_block(m0.shape[-1])
+        sub = min(sub, block)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     k_batch = m0.shape[0]
@@ -795,7 +801,7 @@ def shifted_factor_logdet_q_pallas(
 
 def tri_inverse_pallas(
     lmat: jnp.ndarray,
-    block: int = BLOCK,
+    block: int | None = None,
     sub: int = SUB,
     interpret: bool | None = None,
     prec: str | None = None,
@@ -806,6 +812,9 @@ def tri_inverse_pallas(
     (``factor_logdet_q_pallas`` output); the result is a complete dense
     matrix with exact zeros above the diagonal.
     """
+    if block is None:
+        block = _pick_block(lmat.shape[-1])
+        sub = min(sub, block)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     k_batch = lmat.shape[0]
@@ -819,13 +828,30 @@ def tri_inverse_pallas(
     return call(lmat)
 
 
+def _pick_block(n: int) -> int:
+    """Largest supported panel width dividing n.
+
+    Pad buckets are powers of two plus quarter midpoints, so some
+    (640, 896, 1280, 1792, ...) are not multiples of 512; falling back
+    to 256- or 128-wide panels keeps the fused path engaged across
+    every bucket ≥ 512 instead of cliffing to the XLA sequence.
+    Smaller panels pay more per-panel orchestration but the serial
+    column count (the dominant cost) is block-independent."""
+    for b in (BLOCK, 256, 128):
+        if n % b == 0:
+            return b
+    raise ValueError(f"n={n} is not a multiple of 128")
+
+
 def supported(n: int, on_tpu: bool | None = None) -> bool:
-    """Shapes this kernel accepts on the current backend."""
+    """Shapes this kernel accepts on the current backend.
+
+    nb=1 (n == block) is a valid degenerate case: diagonal-only
+    factorization, no panel/trailing phases (their loops run 0 times).
+    """
     if on_tpu is None:
         on_tpu = jax.default_backend() == "tpu"
-    # nb=1 (n == BLOCK) is a valid degenerate case: diagonal-only
-    # factorization, no panel/trailing phases (their loops run 0 times).
-    return on_tpu and n % BLOCK == 0
+    return on_tpu and n >= 512 and n % 128 == 0
 
 
 def _chunked(fn, batch_args, k_batch, pad_args, n_out=2):
@@ -856,7 +882,7 @@ def _chunked(fn, batch_args, k_batch, pad_args, n_out=2):
 def logdet_q_pallas(
     kmat: jnp.ndarray,
     resid: jnp.ndarray,
-    block: int = BLOCK,
+    block: int | None = None,
     sub: int = SUB,
     interpret: bool | None = None,
     prec: str | None = None,
@@ -869,6 +895,9 @@ def logdet_q_pallas(
     vectors.  N must be a multiple of ``block``.  Batches larger than
     MAX_BATCH are chunked to bound VMEM.
     """
+    if block is None:
+        block = _pick_block(kmat.shape[-1])
+        sub = min(sub, block)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     k_batch = kmat.shape[0]
@@ -888,7 +917,7 @@ def shifted_logdet_q_pallas(
     m0: jnp.ndarray,
     dshift: jnp.ndarray,
     resid: jnp.ndarray,
-    block: int = BLOCK,
+    block: int | None = None,
     sub: int = SUB,
     interpret: bool | None = None,
     prec: str | None = None,
@@ -906,6 +935,9 @@ def shifted_logdet_q_pallas(
     m0: [K, N, N] (destroyed; XLA inserts a copy because the caller's
     M outlives the move), dshift: [K, N], resid: [K, N].
     """
+    if block is None:
+        block = _pick_block(m0.shape[-1])
+        sub = min(sub, block)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     k_batch = m0.shape[0]
