@@ -24,6 +24,7 @@ import os
 import numpy as np
 
 from spearmint_tpu.choosers import get_chooser
+from spearmint_tpu.harness import loop
 from spearmint_tpu.store import codec, varmap
 from spearmint_tpu.store.locker import Locker
 from spearmint_tpu.store.sobol import sobol_grid
@@ -141,6 +142,7 @@ def main(argv=None) -> int:
     expt_dir = os.path.realpath(options.expt_dir)
     config_path = options.config or os.path.join(expt_dir, "config.pb")
     config = codec.load_experiment(config_path)
+    loop.enable_persistent_compile_cache(expt_dir)
     chooser = get_chooser(options.chooser_module, expt_dir,
                           options.chooser_args)
     suggest_batch(expt_dir, config, chooser, options.n, options.grid_size,

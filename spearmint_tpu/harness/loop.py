@@ -19,6 +19,32 @@ from spearmint_tpu.store.experiment import ExperimentGrid
 BEST_FILE = "best_job_and_result.txt"
 
 
+def enable_persistent_compile_cache(expt_dir: str) -> str | None:
+    """Point jax's persistent compilation cache at the experiment dir.
+
+    The experiment IS a checkpoint (SURVEY.md §5.4): kill the harness
+    anytime and restart.  Without this, every restart re-pays the
+    20–40 s jit compile of the suggest step per active pad bucket; with
+    it, recompiles hit `<expt_dir>/.jax_cache` instead.  A user-set
+    JAX_COMPILATION_CACHE_DIR (or prior config) wins; failures degrade
+    to no caching (e.g. backends without serialization support).
+    """
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return None
+    import jax
+
+    if jax.config.jax_compilation_cache_dir:
+        return None
+    path = os.path.join(expt_dir, ".jax_cache")
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+    except Exception as e:  # pragma: no cover - depends on backend
+        codec.log(f"persistent compile cache disabled: {e}")
+        return None
+    return path
+
+
 def open_grid(expt_dir: str, config: codec.ExperimentConfig,
               grid_size: int, grid_seed: int) -> ExperimentGrid:
     return ExperimentGrid(

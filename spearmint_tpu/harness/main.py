@@ -102,6 +102,7 @@ def main(argv=None) -> int:
     expt_dir = os.path.realpath(options.expt_dir)
     config_path = options.config or os.path.join(expt_dir, "config.pb")
     config = codec.load_experiment(config_path)
+    loop.enable_persistent_compile_cache(expt_dir)
     chooser = get_chooser(options.chooser_module, expt_dir,
                           options.chooser_args)
     driver = get_driver(options.driver)

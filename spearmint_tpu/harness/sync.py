@@ -62,6 +62,7 @@ def main(argv=None) -> int:
     expt_dir = os.path.realpath(options.expt_dir)
     config_path = options.config or os.path.join(expt_dir, "config.pb")
     config = codec.load_experiment(config_path)
+    loop.enable_persistent_compile_cache(expt_dir)
     chooser = get_chooser(options.chooser_module, expt_dir,
                           options.chooser_args)
     best_val, best_id = run(expt_dir, config, chooser, options)

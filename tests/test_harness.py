@@ -179,3 +179,30 @@ def test_retry_broken_budget(tmp_path):
     driver.kill(pid)
     attempt_dispatch(expt, cfg, chooser, driver, options)
     assert job.id in ExperimentGrid(expt).get_broken()
+
+
+def test_persistent_compile_cache_setup(tmp_path, monkeypatch):
+    """enable_persistent_compile_cache points jax's persistent cache at
+    <expt_dir>/.jax_cache, defers to a user-set env var, and is
+    idempotent (a prior config wins)."""
+    import jax
+
+    from spearmint_tpu.harness import loop as loop_mod
+
+    monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
+    old = jax.config.jax_compilation_cache_dir
+    try:
+        jax.config.update("jax_compilation_cache_dir", None)
+        path = loop_mod.enable_persistent_compile_cache(str(tmp_path))
+        assert path == str(tmp_path / ".jax_cache")
+        assert (tmp_path / ".jax_cache").is_dir()
+        assert jax.config.jax_compilation_cache_dir == path
+        # second call: prior config wins (no clobber)
+        assert loop_mod.enable_persistent_compile_cache("/elsewhere") is None
+
+        # user env var wins over ours
+        jax.config.update("jax_compilation_cache_dir", None)
+        monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", "/userchoice")
+        assert loop_mod.enable_persistent_compile_cache(str(tmp_path)) is None
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old)
