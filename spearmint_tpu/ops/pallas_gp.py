@@ -85,6 +85,20 @@ MAX_BATCH = 10
 # module docstring); exposed for experiments.
 PRECISION = "highest"
 
+# Interleave the next panel's diagonal factorization under the current
+# panel's trailing GEMMs.  A dedicated probe measured Mosaic co-issuing
+# independent VPU-column and MXU-GEMM streams at ~max instead of the
+# sum, but THIS formulation (whole-sub-block bursts via pl.when at
+# threshold iterations) measured NET-NEGATIVE at the flagship shape
+# (59.9 vs 53.7 ms/eval): each burst's scalar-issue time (~100 µs)
+# starves the 1-deep trailing DMA prefetch, stalling the MXU ~2
+# iterations per burst (~6 ms/eval across 4 bursts × 10 panels).
+# Spreading the columns evenly across trailing iterations would absorb
+# the issue time in the ~40 µs/iteration DMA slack but requires
+# dynamic 128-aligned sub-block ref slicing (docs/ROADMAP.md item 1).
+# Default OFF; kept for A/B measurement (numerics identical — tested).
+INTERLEAVE = False
+
 # Interpret-mode DMA semantics for CPU tests.  "eager" (fast: every copy
 # completes at start()) is the CI default; tests also run "on_wait"
 # (copies land only at wait() — the real-hardware model) with the
@@ -191,38 +205,48 @@ def _tri_inv_sq(lmat, dvec, prec):
     return y * inv_d[:, :, None]                                # D⁻¹·Y
 
 
-def _factor_diag(dblk, linv, ldacc, block, sub, prec):
-    """Factor the [K, block, block] diagonal block resident in ``dblk``
-    (VMEM ref), writing L in place, L⁻¹ into ``linv`` and accumulating
-    Σ log d into ``ldacc``.  Two-level: SUB-wide serial bases + MXU glue.
-    """
-    n_sub = block // sub
-    for s in range(n_sub):
-        off = s * sub
-        a_s = dblk[:, off:off + sub, off:off + sub]
-        l_s, dvec = _factor_base(a_s)
-        dblk[:, off:off + sub, off:off + sub] = l_s
-        linv[:, off:off + sub, off:off + sub] = _tri_inv_sq(l_s, dvec, prec)
-        ldacc[:, :sub] += jnp.log(dvec)
-        rs = block - (off + sub)
-        if rs > 0:
-            li_s = linv[:, off:off + sub, off:off + sub]
-            a21 = dblk[:, off + sub:, off:off + sub]            # [K, rs, b]
-            l21 = _dot(a21, li_s, ((2,), (2,)), prec=prec)
-            dblk[:, off + sub:, off:off + sub] = l21
-            a22 = dblk[:, off + sub:, off + sub:]
-            dblk[:, off + sub:, off + sub:] = a22 - _dot(
-                l21, l21, ((2,), (2,)), prec=prec)
-    # assemble the sub-diagonal blocks of L⁻¹ by block forward
-    # substitution: X_{t,0:off_t} = −L_tt⁻¹ · L_{t,0:off_t} · X_{0:off_t}
-    for t in range(1, n_sub):
-        off = t * sub
+def _factor_diag_sub(dblk, linv, ldacc, block, sub, prec, s):
+    """One sub-step of the diagonal-block factorization: serial base s,
+    its inverse, the in-block trailing update, and (s > 0) the
+    sub-diagonal L⁻¹ strip for row s.  Splitting per sub-step lets the
+    interleaved kernel spread these bursts across the previous panel's
+    trailing GEMM stream (Mosaic co-issues the VPU column sweep with
+    independent MXU work — measured interleaved ≈ max, not sum)."""
+    off = s * sub
+    a_s = dblk[:, off:off + sub, off:off + sub]
+    l_s, dvec = _factor_base(a_s)
+    dblk[:, off:off + sub, off:off + sub] = l_s
+    linv[:, off:off + sub, off:off + sub] = _tri_inv_sq(l_s, dvec, prec)
+    ldacc[:, :sub] += jnp.log(dvec)
+    rs = block - (off + sub)
+    if rs > 0:
+        li_s = linv[:, off:off + sub, off:off + sub]
+        a21 = dblk[:, off + sub:, off:off + sub]                # [K, rs, b]
+        l21 = _dot(a21, li_s, ((2,), (2,)), prec=prec)
+        dblk[:, off + sub:, off:off + sub] = l21
+        a22 = dblk[:, off + sub:, off + sub:]
+        dblk[:, off + sub:, off + sub:] = a22 - _dot(
+            l21, l21, ((2,), (2,)), prec=prec)
+    if s > 0:
+        # sub-diagonal L⁻¹ strip by block forward substitution:
+        # X_{s,0:off} = −L_ss⁻¹ · L_{s,0:off} · X_{0:off,0:off}
+        # (rows < s are complete — the merged ordering is equivalent to
+        # the original two-pass loop)
         lstrip = dblk[:, off:off + sub, 0:off]                  # [K, b, off]
         xtl = linv[:, 0:off, 0:off]
         tmp = _dot(lstrip, xtl, ((2,), (1,)), prec=prec)
         ltt_inv = linv[:, off:off + sub, off:off + sub]
         linv[:, off:off + sub, 0:off] = -_dot(
             ltt_inv, tmp, ((2,), (1,)), prec=prec)
+
+
+def _factor_diag(dblk, linv, ldacc, block, sub, prec):
+    """Factor the [K, block, block] diagonal block resident in ``dblk``
+    (VMEM ref), writing L in place, L⁻¹ into ``linv`` and accumulating
+    Σ log d into ``ldacc``.  Two-level: SUB-wide serial bases + MXU glue.
+    """
+    for s in range(block // sub):
+        _factor_diag_sub(dblk, linv, ldacc, block, sub, prec, s)
 
 
 def _diag_of_tri(lmat):
@@ -266,7 +290,8 @@ def _diag_tile(dadd, roff, blk):
     return jnp.where((rr == cc)[None], dv[:, :, None], 0.0)
 
 
-def _make_kernel(nb, block, sub, prec, shift, debug_skip="", emit=False):
+def _make_kernel(nb, block, sub, prec, shift, debug_skip="",
+                 emit=False, interleave=False):
     """Build the kernel body for an N = nb·block matrix.
 
     Args: (a_hbm[, dshift], r) with a aliased to the ws output.  With
@@ -309,16 +334,30 @@ def _make_kernel(nb, block, sub, prec, shift, debug_skip="", emit=False):
             ldacc[:] = jnp.zeros_like(ldacc)
 
         # ---- diagonal block: DMA in, factor in VMEM -------------------
-        ld_diag = pltpu.make_async_copy(
-            ws.at[:, pl.ds(row0, block), pl.ds(row0, block)],
-            dblk, dsem)
-        ld_diag.start()
-        ld_diag.wait()
-        if shift:
-            dblk[:, :, :] = dblk[:, :, :] + _diag_tile(dshift, row0, block)
+        def load_factor_diag():
+            ld_diag = pltpu.make_async_copy(
+                ws.at[:, pl.ds(row0, block), pl.ds(row0, block)],
+                dblk, dsem)
+            ld_diag.start()
+            ld_diag.wait()
+            if shift:
+                dblk[:, :, :] = (dblk[:, :, :]
+                                 + _diag_tile(dshift, row0, block))
+            linv[:] = jnp.zeros_like(linv)
+            _factor_diag(dblk, linv, ldacc, block, sub, prec)
 
-        linv[:] = jnp.zeros_like(linv)
-        _factor_diag(dblk, linv, ldacc, block, sub, prec)
+        if interleave:
+            # panels > 0 arrive with dblk/linv already holding this
+            # panel's factorization — computed during the PREVIOUS
+            # panel's trailing phase, where the serial column sweep
+            # (VPU) hides under the trailing GEMM stream (MXU):
+            # Mosaic co-issues the independent streams (measured
+            # interleaved ≈ max(GEMM, columns), not the sum).
+            @pl.when(first)
+            def _():
+                load_factor_diag()
+        else:
+            load_factor_diag()
         if emit:
             # write L_kk back (tril-masked) so ws is the true factor
             rr = lax.broadcasted_iota(jnp.int32, (block, block), 0)
@@ -436,6 +475,16 @@ def _make_kernel(nb, block, sub, prec, shift, debug_skip="", emit=False):
         def _():
             t_start(jnp.asarray(0, jnp.int32))
 
+        n_sub = block // sub
+        has_next = k < nb - 1
+
+        def i_thresh(s):
+            # spread the n_sub factor bursts across the trailing range
+            # [1, ntri-1]; for tiny ntri the thresholds collapse (several
+            # bursts fire in one iteration — correct, just less overlap)
+            return jnp.minimum(1 + (s * jnp.maximum(ntri - 1, 1)) // n_sub,
+                               ntri - 1)
+
         def t_body(t, _):
             sl = t % 3
             # the store that last used A slot (t+1)%3 was t−2; it must
@@ -456,6 +505,23 @@ def _make_kernel(nb, block, sub, prec, shift, debug_skip="", emit=False):
             aslots[sl] = aslots[sl] - _dot(
                 lslots[lsl, 0], lslots[lsl, 1], ((2,), (2,)), prec=prec)
             t_store(t).start()
+            if interleave:
+                # trailing tile t=0 IS the next panel's diagonal block
+                # (i=0, j=0): capture it post-update and pre-factor it
+                # in bursts riding under the remaining trailing GEMMs.
+                @pl.when(has_next & (t == 0))
+                def _():
+                    dblk[:, :, :] = aslots[0]
+                    if shift:
+                        dblk[:, :, :] = dblk[:, :, :] + _diag_tile(
+                            dshift, row0 + block, block)
+                    linv[:] = jnp.zeros_like(linv)
+
+                for s in range(n_sub):
+                    @pl.when(has_next & (t == i_thresh(s)))
+                    def _(s=s):
+                        _factor_diag_sub(dblk, linv, ldacc, block, sub,
+                                         prec, s)
             return 0
 
         lax.fori_loop(0, ntri, t_body, 0)
@@ -493,8 +559,12 @@ def _call(kmat, extra_inputs, resid, block, sub, interpret, prec,
         raise ValueError(f"sub={sub} must be a multiple of the column "
                          "unroll (4)")
     nb = n // block
+    # Interleaved next-panel diagonal factorization (hides the trailing
+    # GEMM stream under the serial column sweep); incompatible with the
+    # phase-skipping debug modes.
+    interleave = INTERLEAVE and debug_skip == "" and nb > 1
     kernel = _make_kernel(nb, block, sub, prec or PRECISION, shift,
-                          debug_skip, emit)
+                          debug_skip, emit, interleave)
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * (
         len(extra_inputs) + 1)
