@@ -85,20 +85,6 @@ MAX_BATCH = 10
 # module docstring); exposed for experiments.
 PRECISION = "highest"
 
-# Interleave the next panel's diagonal factorization under the current
-# panel's trailing GEMMs.  A dedicated probe measured Mosaic co-issuing
-# independent VPU-column and MXU-GEMM streams at ~max instead of the
-# sum, but THIS formulation (whole-sub-block bursts via pl.when at
-# threshold iterations) measured NET-NEGATIVE at the flagship shape
-# (59.9 vs 53.7 ms/eval): each burst's scalar-issue time (~100 µs)
-# starves the 1-deep trailing DMA prefetch, stalling the MXU ~2
-# iterations per burst (~6 ms/eval across 4 bursts × 10 panels).
-# Spreading the columns evenly across trailing iterations would absorb
-# the issue time in the ~40 µs/iteration DMA slack but requires
-# dynamic 128-aligned sub-block ref slicing (docs/ROADMAP.md item 1).
-# Default OFF; kept for A/B measurement (numerics identical — tested).
-INTERLEAVE = False
-
 # Interpret-mode DMA semantics for CPU tests.  "eager" (fast: every copy
 # completes at start()) is the CI default; tests also run "on_wait"
 # (copies land only at wait() — the real-hardware model) with the
@@ -291,7 +277,7 @@ def _diag_tile(dadd, roff, blk):
 
 
 def _make_kernel(nb, block, sub, prec, shift, debug_skip="",
-                 emit=False, interleave=False):
+                 emit=False):
     """Build the kernel body for an N = nb·block matrix.
 
     Args: (a_hbm[, dshift], r) with a aliased to the ws output.  With
@@ -346,18 +332,7 @@ def _make_kernel(nb, block, sub, prec, shift, debug_skip="",
             linv[:] = jnp.zeros_like(linv)
             _factor_diag(dblk, linv, ldacc, block, sub, prec)
 
-        if interleave:
-            # panels > 0 arrive with dblk/linv already holding this
-            # panel's factorization — computed during the PREVIOUS
-            # panel's trailing phase, where the serial column sweep
-            # (VPU) hides under the trailing GEMM stream (MXU):
-            # Mosaic co-issues the independent streams (measured
-            # interleaved ≈ max(GEMM, columns), not the sum).
-            @pl.when(first)
-            def _():
-                load_factor_diag()
-        else:
-            load_factor_diag()
+        load_factor_diag()
         if emit:
             # write L_kk back (tril-masked) so ws is the true factor
             rr = lax.broadcasted_iota(jnp.int32, (block, block), 0)
@@ -475,16 +450,6 @@ def _make_kernel(nb, block, sub, prec, shift, debug_skip="",
         def _():
             t_start(jnp.asarray(0, jnp.int32))
 
-        n_sub = block // sub
-        has_next = k < nb - 1
-
-        def i_thresh(s):
-            # spread the n_sub factor bursts across the trailing range
-            # [1, ntri-1]; for tiny ntri the thresholds collapse (several
-            # bursts fire in one iteration — correct, just less overlap)
-            return jnp.minimum(1 + (s * jnp.maximum(ntri - 1, 1)) // n_sub,
-                               ntri - 1)
-
         def t_body(t, _):
             sl = t % 3
             # the store that last used A slot (t+1)%3 was t−2; it must
@@ -505,23 +470,6 @@ def _make_kernel(nb, block, sub, prec, shift, debug_skip="",
             aslots[sl] = aslots[sl] - _dot(
                 lslots[lsl, 0], lslots[lsl, 1], ((2,), (2,)), prec=prec)
             t_store(t).start()
-            if interleave:
-                # trailing tile t=0 IS the next panel's diagonal block
-                # (i=0, j=0): capture it post-update and pre-factor it
-                # in bursts riding under the remaining trailing GEMMs.
-                @pl.when(has_next & (t == 0))
-                def _():
-                    dblk[:, :, :] = aslots[0]
-                    if shift:
-                        dblk[:, :, :] = dblk[:, :, :] + _diag_tile(
-                            dshift, row0 + block, block)
-                    linv[:] = jnp.zeros_like(linv)
-
-                for s in range(n_sub):
-                    @pl.when(has_next & (t == i_thresh(s)))
-                    def _(s=s):
-                        _factor_diag_sub(dblk, linv, ldacc, block, sub,
-                                         prec, s)
             return 0
 
         lax.fori_loop(0, ntri, t_body, 0)
@@ -559,12 +507,8 @@ def _call(kmat, extra_inputs, resid, block, sub, interpret, prec,
         raise ValueError(f"sub={sub} must be a multiple of the column "
                          "unroll (4)")
     nb = n // block
-    # Interleaved next-panel diagonal factorization (hides the trailing
-    # GEMM stream under the serial column sweep); incompatible with the
-    # phase-skipping debug modes.
-    interleave = INTERLEAVE and debug_skip == "" and nb > 1
     kernel = _make_kernel(nb, block, sub, prec or PRECISION, shift,
-                          debug_skip, emit, interleave)
+                          debug_skip, emit)
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * (
         len(extra_inputs) + 1)
