@@ -151,3 +151,40 @@ def test_short_suggest_trajectory_improves(problem):
 
     # suggestions are distinct points with finite values
     assert len({tuple(np.round(p, 6)) for p in picks}) >= 2
+
+
+def test_obs_sharded_path_matches_local_on_hardware(problem):
+    """The obs-sharded (pod-scale) log-marginal and posterior agree
+    with the local fused path on real hardware (1-way obs mesh — the
+    virtual-CPU mesh tests never exercised TPU numerics; r4 pinned
+    Precision.HIGHEST on the colblock factorization/solve GEMMs)."""
+    from spearmint_tpu.acquire import ei as jei
+    from spearmint_tpu.core.kernels import matern52
+    from spearmint_tpu.core.likelihood import GPHypers, log_marginal
+    from spearmint_tpu.engine import obs_shard as obs
+
+    x, y, xp, yp, mask, cand = problem
+    xj, yj, mj = jnp.array(xp), jnp.array(yp), jnp.array(mask)
+    h = GPHypers(jnp.float32(0.0), jnp.float32(1.3), jnp.float32(1e-3),
+                 jnp.array([0.7, 0.4], jnp.float32))
+    mesh = obs.make_obs_mesh()
+
+    lp_sh = float(obs.sharded_logprob(mesh)(xj, yj, mj, h.mean, h.amp2,
+                                            h.noise, h.ls))
+    lp_loc = float(jax.jit(log_marginal)(xj, yj, mj, h))
+    assert abs(lp_sh - lp_loc) / abs(lp_loc) < 1e-4, (lp_sh, lp_loc)
+
+    cj = jnp.array(cand, jnp.float32)
+    mu_s, var_s = obs.sharded_posterior(mesh)(xj, yj, mj, cj, h.mean,
+                                              h.amp2, h.noise, h.ls)
+
+    @jax.jit
+    def local_post(c):
+        cache = jei.make_cache(xj, yj, mj, h, matern52, with_inverse=True)
+        return jei.posterior_from_cache(cache, xj, mj, c, matern52)
+
+    mu_l, var_l = local_post(cj)
+    mu_s, var_s, mu_l, var_l = map(np.asarray, (mu_s, var_s, mu_l, var_l))
+    assert np.max(np.abs(mu_s - mu_l)) < 5e-3 * np.abs(mu_l).max()
+    assert np.max(np.abs(var_s - var_l)) < 5e-2 * np.abs(var_l).max()
+    assert var_s.min() > 0
