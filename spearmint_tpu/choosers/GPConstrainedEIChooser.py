@@ -177,13 +177,20 @@ class GPConstrainedEIChooser(GPEIOptChooser):
         self._constraint = res.constraint
         self._key_state += 1
         self._save_state()
+        n_ok = int(res.n_ok) if res.n_ok is not None else -1
         self._emit_suggest(
             latency, n, 0, c,
             acq_best=float(res.best_cand_acq), acq_opt=float(res.acq_opt),
             n_valid=int(valid.sum()),
             c_amp2_med=float(np.median(np.asarray(res.constraint.amp2))),
-            mode="chains", chain_chunk=chain_chunk,
+            mode="chains", chain_chunk=chain_chunk, n_ok=n_ok,
         )
+        if n_ok == 0:
+            # all cache factorizations failed — the average carries no
+            # signal (see GPEIOptChooser.next): fall back to grid order
+            self.events.emit("suggest_degenerate",
+                             chooser=type(self).__name__, n_obs=int(n))
+            return int(candidates[0])
 
         acq_opt = float(res.acq_opt)
         best_cand_acq = float(res.best_cand_acq)

@@ -310,13 +310,22 @@ class GPEIOptChooser:
         self._hypers = res.hypers
         self._key_state += 1
         self._save_state()
+        n_ok = int(res.n_ok) if res.n_ok is not None else -1
         self._emit_suggest(
             latency, n, p, c,
             ei_best=float(res.best_cand_ei), ei_opt=float(res.ei_opt),
             amp2_med=float(np.median(np.asarray(res.hypers.amp2))),
             noise_med=float(np.median(np.asarray(res.hypers.noise))),
-            mode="obs_shard" if use_obs else "chains",
+            mode="obs_shard" if use_obs else "chains", n_ok=n_ok,
         )
+        if n_ok == 0:
+            # Every sample's cache factorization failed (f32
+            # conditioning edge): the averaged EI is all zeros and its
+            # argmax carries no signal — fall back to grid order
+            # instead of dispatching an arbitrary point, and say so.
+            self.events.emit("suggest_degenerate",
+                             chooser=type(self).__name__, n_obs=int(n))
+            return int(candidates[0])
 
         best_cand_local = int(res.best_cand)
         best_cand_ei = float(res.best_cand_ei)

@@ -166,12 +166,19 @@ class GPEIperSecChooser(GPEIOptChooser):
         self._time_hypers = res.time_hypers
         self._key_state += 1
         self._save_state()
+        n_ok = int(res.n_ok) if res.n_ok is not None else -1
         self._emit_suggest(
             latency, n, p, c,
             ei_best=float(res.best_cand_ei), ei_opt=float(res.ei_opt),
             time_amp2_med=float(np.median(np.asarray(res.time_hypers.amp2))),
-            mode="chains", chain_chunk=chain_chunk,
+            mode="chains", chain_chunk=chain_chunk, n_ok=n_ok,
         )
+        if n_ok == 0:
+            # all cache factorizations failed — the average carries no
+            # signal (see GPEIOptChooser.next): fall back to grid order
+            self.events.emit("suggest_degenerate",
+                             chooser=type(self).__name__, n_obs=int(n))
+            return int(candidates[0])
 
         ei_opt = float(res.ei_opt)
         best_cand_ei = float(res.best_cand_ei)

@@ -70,10 +70,11 @@ def unit_cov_matrix(
     """M = k(X,X) + jitter·I with padded rows/cols zeroed.
 
     The amp2/noise-independent part of ``cov_matrix``:
-    K = amp2·M + diag(where(mask, noise, 1)).  The joint slice move
-    caches it across evaluations (mcmc/chains), and ``log_marginal``
-    evaluates through the same M-form so every marginal evaluation on
-    TPU shares one numerical path (the shifted fused kernel)."""
+    K = amp2·M + diag(where(mask, noise, 1)).  Every marginal
+    evaluation (``log_marginal`` → ``linalg.fma_logdet_q``) and every
+    posterior-cache factorization (``linalg.cache_factor`` /
+    ``factor_solve``) assembles through this M-form, so on TPU they all
+    share one numerical path — the shifted fused kernel."""
     n = x.shape[0]
     eye = jnp.eye(n, dtype=x.dtype)
     both = mask[:, None] & mask[None, :]

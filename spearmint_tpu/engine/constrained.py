@@ -30,7 +30,7 @@ from jax import lax
 from spearmint_tpu.acquire import ei as ei_mod
 from spearmint_tpu.acquire.optimize import minimize_lbfgs_b
 from spearmint_tpu.core import linalg, priors
-from spearmint_tpu.core.likelihood import GPHypers, JITTER
+from spearmint_tpu.core.likelihood import GPHypers
 from spearmint_tpu.engine.suggest import (
     SuggestConfig, _chunked_vmap, _flatten_samples,
 )
@@ -56,6 +56,8 @@ class ConstrainedResult(NamedTuple):
     best_cand_acq: jnp.ndarray
     x_opt: jnp.ndarray
     acq_opt: jnp.ndarray
+    n_ok: jnp.ndarray = None  # samples with finite caches (see
+                              # engine.suggest.SuggestResult.n_ok)
 
 
 def _constraint_cov(x, mask, ls, amp2, kernel):
@@ -199,6 +201,8 @@ def _constraint_unit_cov(x, mask, ls, kernel):
 
 def _p_valid_from_cache(cache: ConstraintCache, x, mask, cand, kernel):
     """Probit predictive feasibility probability at candidate points."""
+    from spearmint_tpu.core.likelihood import _effective_jitter
+
     state = cache.state
     kx = state.amp2 * kernel(x, cand, state.ls) * mask[:, None]
     mu = jnp.matmul(kx.T, cache.alpha,
@@ -207,7 +211,12 @@ def _p_valid_from_cache(cache: ConstraintCache, x, mask, cand, kernel):
     # variance only enters as 1+σ² ≥ 1, so a ~1e-4 absolute β² error
     # cannot blow up the feasibility probability.
     beta = jnp.matmul(cache.linv, kx, precision=jax.lax.Precision.HIGH)
-    var = state.amp2 * (1.0 + JITTER) - jnp.sum(beta * beta, axis=0)
+    # _effective_jitter (not the bare 1e-6) to match the assembled
+    # covariance diagonal (_constraint_cov): at large n the prior
+    # variance otherwise underestimates amp2·(1+ε_n) and a candidate
+    # sitting on an observation clamps to the 1e-10 floor.
+    var = (state.amp2 * (1.0 + _effective_jitter(x.shape[0]))
+           - jnp.sum(beta * beta, axis=0))
     var = jnp.maximum(var, 1e-10)
     return jax.scipy.stats.norm.cdf(mu / jnp.sqrt(1.0 + var))
 
@@ -307,7 +316,8 @@ def suggest_step_constrained(
     # whose cache factorization failed at the f32 conditioning edge.
     ok = (jnp.all(jnp.isfinite(caches.alpha.reshape(s, -1)), axis=1)
           & jnp.all(jnp.isfinite(c_caches.alpha.reshape(s, -1)), axis=1))
-    n_ok = jnp.maximum(jnp.sum(ok.astype(x.dtype)), 1.0)
+    n_ok_true = jnp.sum(ok.astype(jnp.int32))
+    n_ok = jnp.maximum(n_ok_true.astype(x.dtype), 1.0)
 
     acq_samples, pv_samples = acq_at(cand)
     acq_samples = jnp.where(ok[:, None] & jnp.isfinite(acq_samples),
@@ -342,7 +352,7 @@ def suggest_step_constrained(
     return ConstrainedResult(
         hypers=h_last, constraint=c_last, acq=acq_mean, p_valid=pv_mean,
         best_cand=best_cand, best_cand_acq=best_cand_acq,
-        x_opt=x_opt, acq_opt=acq_opt,
+        x_opt=x_opt, acq_opt=acq_opt, n_ok=n_ok_true,
     )
 
 

@@ -356,8 +356,10 @@ def sharded_suggest_obs(mesh: Mesh, config):
     from spearmint_tpu.mcmc.chains import marginal_at, sample_hypers_lp
 
     kernel = config.kernel
+    # band_joint off: the banded joint move would assemble the full n×n
+    # M per device — the obs path exists precisely to never do that.
     mcfg = config.mcmc._replace(
-        marginal=functools.partial(_marginal_colblock))
+        marginal=functools.partial(_marginal_colblock), band_joint=False)
     iters = config.mcmc_iters
     cand_chunk = 4096
 
@@ -402,6 +404,12 @@ def sharded_suggest_obs(mesh: Mesh, config):
             resid = jnp.where(mask, y - h.mean, 0.0)
             alpha = _backsolve(l_col, solve_colblock(l_col, resid))
             best = jnp.min(jnp.where(mask, y, jnp.inf))
+            # sample usable only if its distributed factorization was
+            # finite (mirrors engine/suggest.py's cache ok-mask; the
+            # 10k+-obs pod path is the MOST f32-conditioning-exposed
+            # route in the codebase — r4 proved this failure mode on
+            # hardware, tests/test_tpu_smoke.py)
+            ok = jnp.all(jnp.isfinite(alpha))
 
             def ei_chunk(cc):
                 kx = h.amp2 * kernel(x, cc, h.ls) * mask[:, None]
@@ -414,20 +422,26 @@ def sharded_suggest_obs(mesh: Mesh, config):
                 return sigma * (u * jax.scipy.stats.norm.cdf(u)
                                 + jax.scipy.stats.norm.pdf(u))
 
-            return lax.map(ei_chunk, chunks).reshape(padded)[:c]
+            return lax.map(ei_chunk, chunks).reshape(padded)[:c], ok
 
-        ei_samples = lax.map(per_sample_ei, flat)        # [S, C]
-        ei_mean = jnp.mean(ei_samples, axis=0)
+        ei_samples, ok = lax.map(per_sample_ei, flat)    # [S, C], [S]
+        # NaN-robust sample average (engine/suggest.py parity): one
+        # conditioning-edge sample must not poison every candidate.
+        n_ok_true = jnp.sum(ok.astype(jnp.int32))
+        n_ok = jnp.maximum(n_ok_true.astype(ei_samples.dtype), 1.0)
+        ei_samples = jnp.where(ok[:, None] & jnp.isfinite(ei_samples),
+                               ei_samples, 0.0)
+        ei_mean = jnp.sum(ei_samples, axis=0) / n_ok
         ei_masked = jnp.where(cand_mask, ei_mean, -jnp.inf)
         best_cand = jnp.argmax(ei_masked)
         best_ei = ei_masked[best_cand]
         return (h_last.mean, h_last.amp2, h_last.noise, h_last.ls,
                 flat.mean, flat.amp2, flat.noise, flat.ls,
-                ei_mean, best_cand, best_ei, cand[best_cand])
+                ei_mean, best_cand, best_ei, cand[best_cand], n_ok_true)
 
     rep = P()
     mapped = jax.shard_map(
-        body, mesh=mesh, in_specs=(rep,) * 10, out_specs=(rep,) * 12,
+        body, mesh=mesh, in_specs=(rep,) * 10, out_specs=(rep,) * 13,
         check_vma=False,
     )
     jitted = jax.jit(mapped)
@@ -438,7 +452,7 @@ def sharded_suggest_obs(mesh: Mesh, config):
         return SuggestResult(
             hypers=GPHypers(*out[0:4]), samples=GPHypers(*out[4:8]),
             ei=out[8], best_cand=out[9], best_cand_ei=out[10],
-            x_opt=out[11], ei_opt=out[10],
+            x_opt=out[11], ei_opt=out[10], n_ok=out[12],
         )
 
     return wrapped

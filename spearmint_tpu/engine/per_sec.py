@@ -41,6 +41,8 @@ class PerSecResult(NamedTuple):
     best_cand_ei: jnp.ndarray
     x_opt: jnp.ndarray
     ei_opt: jnp.ndarray
+    n_ok: jnp.ndarray = None  # samples with finite caches (see
+                              # engine.suggest.SuggestResult.n_ok)
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -162,7 +164,8 @@ def suggest_step_per_sec(
     # whose cache factorization failed at the f32 conditioning edge.
     ok = (jnp.all(jnp.isfinite(caches.alpha.reshape(s, -1)), axis=1)
           & jnp.all(jnp.isfinite(t_caches.alpha.reshape(s, -1)), axis=1))
-    n_ok = jnp.maximum(jnp.sum(ok.astype(x.dtype)), 1.0)
+    n_ok_true = jnp.sum(ok.astype(jnp.int32))
+    n_ok = jnp.maximum(n_ok_true.astype(x.dtype), 1.0)
 
     ei_samples = ei_per_s_at(cand)           # [S, C]
     ei_samples = jnp.where(ok[:, None] & jnp.isfinite(ei_samples),
@@ -195,5 +198,5 @@ def suggest_step_per_sec(
     return PerSecResult(
         hypers=h_last, time_hypers=t_last, ei_per_s=ei_mean,
         best_cand=best_cand, best_cand_ei=best_cand_ei,
-        x_opt=x_opt, ei_opt=ei_opt,
+        x_opt=x_opt, ei_opt=ei_opt, n_ok=n_ok_true,
     )

@@ -69,6 +69,12 @@ class SuggestConfig(NamedTuple):
                                    # evals) is a GEMM, not a sequential
                                    # trisolve; costs one extra [S, N, N]
                                    # buffer + one triangular inversion
+    band_joint: bool = False       # joint slice move via per-move band
+                                   # reduction (ops/band): O(n·b²) per
+                                   # evaluation instead of the fused
+                                   # O(n³); pays one GEMM reduction per
+                                   # move — wins at large pads (the
+                                   # chooser gates on band_joint_min)
     @property
     def kernel(self):
         return get_kernel(self.kernel_name)
@@ -77,7 +83,7 @@ class SuggestConfig(NamedTuple):
     def mcmc(self) -> MCMCConfig:
         return MCMCConfig(
             noiseless=self.noiseless, max_ls=self.max_ls,
-            kernel=self.kernel,
+            kernel=self.kernel, band_joint=self.band_joint,
         )
 
 
@@ -89,6 +95,13 @@ class SuggestResult(NamedTuple):
     best_cand_ei: jnp.ndarray  # its EI
     x_opt: jnp.ndarray         # (D,) best off-grid optimized point
     ei_opt: jnp.ndarray        # its EI (== -min L-BFGS objective)
+    n_ok: jnp.ndarray = None   # int: samples whose cache factorization
+                               # was finite and entered the EI average.
+                               # 0 → every sample failed (the averaged
+                               # EI is all zeros and the argmax carries
+                               # no signal) — callers must not dispatch
+                               # the returned point (the chooser falls
+                               # back to grid order and logs the event)
 
 
 def _flatten_samples(samples: GPHypers, s: int) -> GPHypers:
@@ -215,7 +228,8 @@ def suggest_step(
     # the EI average instead of letting one NaN poison every candidate
     # (the f64 reference never hits this; it would crash if it did).
     ok = jnp.all(jnp.isfinite(caches.alpha.reshape(s, -1)), axis=1)
-    n_ok = jnp.maximum(jnp.sum(ok.astype(ei_samples.dtype)), 1.0)
+    n_ok_true = jnp.sum(ok.astype(jnp.int32))
+    n_ok = jnp.maximum(n_ok_true.astype(ei_samples.dtype), 1.0)
     ei_samples = jnp.where(ok[:, None] & jnp.isfinite(ei_samples),
                            ei_samples, 0.0)
     ei_mean = jnp.sum(ei_samples, axis=0) / n_ok
@@ -256,7 +270,7 @@ def suggest_step(
     return SuggestResult(
         hypers=h_last, samples=flat, ei=ei_mean,
         best_cand=best_cand, best_cand_ei=best_cand_ei,
-        x_opt=x_opt, ei_opt=ei_opt,
+        x_opt=x_opt, ei_opt=ei_opt, n_ok=n_ok_true,
     )
 
 

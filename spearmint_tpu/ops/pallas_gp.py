@@ -294,7 +294,7 @@ def _make_kernel(nb, block, sub, prec, shift, debug_skip="",
     the block diagonal keep the input's symmetric values — triangular
     consumers must not read them), and the solved RHS w = L⁻¹r is
     emitted as a third output.  This is the posterior-cache path
-    (linalg.chol_inv_solve): the factorization feeds
+    (linalg.cache_factor / factor_solve): the factorization feeds
     ``tri_inverse_pallas`` instead of being recomputed by XLA.
     """
 

@@ -203,3 +203,49 @@ def test_chooser_uses_obs_shard_path(tmp_path):
     ev2 = [e for e in EventLog(str(tmp_path)).read()
            if e["kind"] == "suggest"][-1]
     assert ev2["mode"] == "chains"
+
+
+def test_nan_sample_excluded_from_obs_sharded_ei(mesh, problem):
+    """One conditioning-failed sample must not poison the obs-sharded EI
+    average (VERDICT r4 weak #3: the pod path at 10k+ obs is the MOST
+    conditioning-exposed route and lacked the ok-mask the other three
+    engines got).
+
+    Natural poison: a chain pinned at amp2 = inf evaluates every
+    log-marginal as −inf, so the slice sampler leaves it in place
+    (shrink budget exhausts → stay put) and its samples' distributed
+    factorizations produce NaN alphas.  Both the obs-sharded and the
+    single-device engine must exclude those samples and agree.
+    """
+    from spearmint_tpu.engine.suggest import (
+        SuggestConfig, init_chain_states, suggest_step,
+    )
+
+    x, y, mask = problem
+    rng = np.random.RandomState(9)
+    cand = jnp.array(rng.rand(64, x.shape[1]), jnp.float32)
+    cand_mask = jnp.ones(64, bool)
+    chains, iters = 4, 2
+    hypers = init_chain_states(y, mask, x.shape[1], chains=chains)
+    # pin chain 0 at an un-movable, un-factorizable state
+    hypers = hypers._replace(
+        amp2=hypers.amp2.at[0].set(jnp.inf))
+    cfg = SuggestConfig(mcmc_iters=iters, optimize=False)
+    key = jax.random.PRNGKey(11)
+
+    got = obs_shard.sharded_suggest_obs(mesh, cfg)(
+        key, hypers, x, y, mask, cand, cand_mask)
+    want = suggest_step(
+        key, hypers, x, y, mask,
+        jnp.zeros((4, x.shape[1]), jnp.float32), jnp.zeros(4, bool),
+        cand, cand_mask, cfg)
+
+    # the poisoned chain's samples are excluded, not averaged in
+    assert int(got.n_ok) == (chains - 1) * iters
+    assert int(want.n_ok) == (chains - 1) * iters
+    ei = np.asarray(got.ei)
+    assert np.isfinite(ei).all(), "NaN sample leaked into obs-sharded EI"
+    assert ei.max() > 0.0
+    np.testing.assert_allclose(ei, np.asarray(want.ei), rtol=2e-3,
+                               atol=1e-6)
+    assert int(got.best_cand) == int(want.best_cand)

@@ -186,3 +186,56 @@ def test_nan_sample_excluded_from_ei_average(tiny_problem, monkeypatch):
     # the finite samples still produce a usable (finite, in-bounds) pick
     assert np.all((np.asarray(res.x_opt) >= 0)
                   & (np.asarray(res.x_opt) <= 1))
+
+
+def test_all_nan_samples_surface_n_ok_zero(tiny_problem):
+    """If EVERY sample's cache factorization fails, the result must say
+    so (n_ok == 0) instead of silently returning an argmax over an
+    all-zero EI average (ADVICE r4: suggest.py:216)."""
+    p = tiny_problem
+    cfg = SuggestConfig(mcmc_iters=1, grid_subset=2, lbfgs_iters=3)
+    hypers = init_chain_states(p["y"], p["mask"], 2, chains=2)
+    # every chain pinned un-factorizable (amp2=inf → marginal −inf →
+    # slice sampler stays put → NaN cache alphas)
+    hypers = hypers._replace(amp2=jnp.full_like(hypers.amp2, jnp.inf))
+    res = suggest_step(jax.random.PRNGKey(5), hypers, p["x"], p["y"],
+                       p["mask"], p["pend"], p["pend_mask"], p["cand"],
+                       p["cand_mask"], cfg)
+    assert int(res.n_ok) == 0
+    # the EI average itself stays finite (all zeros) — no NaN leak
+    assert np.isfinite(np.asarray(res.ei)).all()
+    # sanity: a clean run reports the full sample count
+    clean = suggest_step(jax.random.PRNGKey(5),
+                         init_chain_states(p["y"], p["mask"], 2, chains=2),
+                         p["x"], p["y"], p["mask"], p["pend"],
+                         p["pend_mask"], p["cand"], p["cand_mask"], cfg)
+    assert int(clean.n_ok) == 2
+
+
+def test_chooser_falls_back_on_degenerate_suggestion(tmp_path, monkeypatch):
+    """n_ok == 0 → the chooser must NOT dispatch the meaningless argmax:
+    it falls back to grid order and logs a suggest_degenerate event."""
+    from spearmint_tpu.choosers.GPEIOptChooser import GPEIOptChooser
+    from spearmint_tpu.engine import suggest as suggest_mod
+    from spearmint_tpu.utils.events import EventLog
+
+    orig = suggest_mod.suggest_step
+
+    def degenerate(*args, **kwargs):
+        res = orig(*args, **kwargs)
+        return res._replace(n_ok=jnp.asarray(0, jnp.int32))
+
+    monkeypatch.setattr(suggest_mod, "suggest_step", degenerate)
+    rng = np.random.RandomState(1)
+    chooser = GPEIOptChooser(str(tmp_path), mcmc_iters=1, chains=2,
+                             burnin=2)
+    grid = rng.rand(40, 2)
+    values = np.full(40, np.nan)
+    complete = np.arange(10)
+    values[complete] = rng.rand(10)
+    candidates = np.arange(10, 40)
+    out = chooser.next(grid, values, np.full(40, np.nan), candidates, [],
+                       complete)
+    assert out == int(candidates[0])
+    kinds = [e["kind"] for e in EventLog(str(tmp_path)).read()]
+    assert "suggest_degenerate" in kinds

@@ -11,7 +11,7 @@ quantities every suggestion flows through against float64 golden math:
   * the GP log-marginal (seed + every slice-sampling evaluation:
     core/likelihood.log_marginal → shifted fused kernel);
   * the posterior-cache moments (acquire/ei.make_cache →
-    linalg.chol_inv_solve → factor + blocked-inverse kernels) and the
+    linalg.cache_factor → factor + blocked-inverse kernels) and the
     EI surface / argmax region they produce.
 
 Run with:  SPEARMINT_TPU_TESTS=1 python -m pytest tests/test_tpu_smoke.py
