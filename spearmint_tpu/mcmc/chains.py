@@ -41,6 +41,18 @@ class MCMCConfig(NamedTuple):
     # observation-sharded version (same (x, y, mask, hypers, kernel)
     # signature) so the whole slice-sampling sweep runs distributed.
     marginal: Callable = log_marginal
+    # Joint-move band mode (ops/band): reduce the fixed unit covariance
+    # M to block-tridiagonal ONCE per joint move (pure GEMMs), then
+    # every slice evaluation of K = amp2·M + diag(dadd) is an O(n·b²)
+    # banded factorization instead of the fused O(n³) one.  The two
+    # moves stay internally consistent: each evaluates its own lp0
+    # through its own path (the banded joint lp0 is one cheap banded
+    # eval; the ls move re-seeds with one fused eval), so the carried
+    # lp_mar is unused.  Requires a CONTIGUOUS mask (real observations
+    # first — how every engine pads; see ops/band module docstring) and
+    # n % band_block == 0 (every pad bucket ≥ 512 is).
+    band_joint: bool = False
+    band_block: int = 128
     # (Two generations of joint-move covariance caches were built and
     # DELETED on measurement.  r2's spectral cache — one eigh per move,
     # O(n) per slice evaluation — died in r3: batched eigh at
@@ -66,8 +78,14 @@ def init_hypers(y: jnp.ndarray, mask: jnp.ndarray, ndim: int) -> GPHypers:
     )
 
 
-def _joint_logprob(vec, x, y, mask, ls, config: MCMCConfig):
-    """Log posterior of (mean, amp2[, noise]) at fixed length scales."""
+def _joint_logprob(vec, x, y, mask, ls, config: MCMCConfig,
+                   marginal3: Callable | None = None):
+    """Log posterior of (mean, amp2[, noise]) at fixed length scales.
+
+    ``marginal3`` (mean, amp2, noise) → lp overrides the default
+    ``config.marginal`` evaluation — the band-mode joint move passes the
+    per-move banded closure (ops/band.band_marginal_factory) here.
+    """
     mean = vec[0]
     amp2 = vec[1]
     noise = vec[2] if not config.noiseless else jnp.asarray(
@@ -80,9 +98,12 @@ def _joint_logprob(vec, x, y, mask, ls, config: MCMCConfig):
     )
     amp2_s = jnp.where(amp2 > 0.0, amp2, 1.0)
     noise_s = jnp.where(noise > 0.0, noise, 1.0)
-    lp = config.marginal(
-        x, y, mask, GPHypers(mean, amp2_s, noise_s, ls), config.kernel
-    )
+    if marginal3 is None:
+        lp = config.marginal(
+            x, y, mask, GPHypers(mean, amp2_s, noise_s, ls), config.kernel
+        )
+    else:
+        lp = marginal3(mean, amp2_s, noise_s)
     lp = lp + priors.lognormal_amp2_term(amp2_s, config.amp2_scale)
     if not config.noiseless:
         lp = lp + priors.horseshoe_logpdf(noise_s, config.noise_scale)
@@ -129,6 +150,11 @@ def sample_hypers_lp(
     posterior at the post-joint state is the joint move's accepted lp
     minus the same terms.  Returns ``(hypers', lp_mar')`` with the
     carry valid for the next sweep on unchanged data.
+
+    With ``config.band_joint`` the carry is IGNORED (each move re-seeds
+    its own lp0 through its own numerical path — see the band-mode
+    comments below); callers may pass a dummy and XLA dead-code-
+    eliminates their seed evaluation.
     """
     k_joint, k_ls = jax.random.split(key)
 
@@ -137,11 +163,30 @@ def sample_hypers_lp(
     else:
         vec0 = jnp.stack([hypers.mean, hypers.amp2, hypers.noise])
 
-    def joint_lp(vec):
-        return _joint_logprob(vec, x, y, mask, hypers.ls, config)
+    if config.band_joint:
+        # Band mode: one O(n³)-GEMM reduction of M per move, O(n·b²)
+        # per evaluation (ops/band).  lp0 is re-evaluated through the
+        # banded path itself (None → one cheap banded eval inside the
+        # move) so threshold comparisons stay internally consistent —
+        # a carried fused-path lp0 would differ by the two paths' f32
+        # rounding and bias the accept decisions near the threshold.
+        from spearmint_tpu.ops.band import band_marginal_factory
 
-    lp0_joint = lp_mar + _joint_prior_terms(hypers.amp2, hypers.noise,
-                                            config)
+        marginal3 = band_marginal_factory(x, y, mask, hypers.ls,
+                                          config.kernel,
+                                          config.band_block)
+
+        def joint_lp(vec):
+            return _joint_logprob(vec, x, y, mask, hypers.ls, config,
+                                  marginal3=marginal3)
+
+        lp0_joint = None
+    else:
+        def joint_lp(vec):
+            return _joint_logprob(vec, x, y, mask, hypers.ls, config)
+
+        lp0_joint = lp_mar + _joint_prior_terms(hypers.amp2, hypers.noise,
+                                                config)
     vec, lp_joint = slice_sample(k_joint, vec0, joint_lp, compwise=False,
                                  lp0=lp0_joint, with_lp=True)
     mean, amp2 = vec[0], vec[1]
@@ -156,7 +201,12 @@ def sample_hypers_lp(
     def ls_lp(ls):
         return _ls_logprob(ls, x, y, mask, mid, config)
 
-    lp0_ls = lp_joint - _joint_prior_terms(amp2, noise, config)
+    # Band mode: the joint move's accepted lp came from the banded
+    # path; re-seed the ls move through its own (fused) path instead of
+    # carrying a cross-path value (one extra fused evaluation per
+    # sweep, ~54 ms at the flagship shape — consistency over latency).
+    lp0_ls = (None if config.band_joint
+              else lp_joint - _joint_prior_terms(amp2, noise, config))
     ls, lp_ls = slice_sample(k_ls, hypers.ls, ls_lp, compwise=True,
                              lp0=lp0_ls, with_lp=True)
     return GPHypers(mean, amp2, noise, ls), lp_ls

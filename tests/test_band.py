@@ -1,0 +1,152 @@
+"""Band reduction for the joint slice move (ops/band.py).
+
+The per-move O(n³)→O(n·b²) trick (VERDICT r4 next #1): reduce the fixed
+unit covariance M to block-tridiagonal form once, then every joint-move
+slice evaluation of K = amp2·M + diag(dadd) is a banded factorization.
+Correctness hinges on (a) the compact-WY panel algebra and (b) padded
+coordinates staying exactly inert through the reduction (so diag(dadd)
+survives the congruence) — both tested here against dense references.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spearmint_tpu.core.kernels import matern52
+from spearmint_tpu.core.likelihood import GPHypers, log_marginal, unit_cov_matrix
+from spearmint_tpu.ops import band
+
+
+def _problem(n_real, npad, d=2, seed=0):
+    rng = np.random.RandomState(seed)
+    x = np.zeros((npad, d), np.float32)
+    x[:n_real] = rng.rand(n_real, d)
+    y = np.zeros(npad, np.float32)
+    y[:n_real] = np.sin(3 * x[:n_real, 0]) + 0.1 * rng.randn(n_real)
+    mask = np.arange(npad) < n_real
+    return jnp.array(x), jnp.array(y), jnp.array(mask)
+
+
+def test_panel_wy_is_a_valid_block_reflector(rng):
+    """Q = I − VTVᵀ from _panel_wy must be orthogonal and QᵀP = [R; 0]."""
+    m, b = 24, 8
+    p = jnp.array(rng.randn(m, b), jnp.float32)
+    r, v, t = band._panel_wy(p)
+    q = jnp.eye(m) - v @ t @ v.T
+    np.testing.assert_allclose(np.asarray(q.T @ q), np.eye(m), atol=2e-5)
+    qtp = np.asarray(q.T @ p)
+    np.testing.assert_allclose(qtp[:b], np.asarray(r), atol=2e-5)
+    np.testing.assert_allclose(qtp[b:], 0.0, atol=2e-5)
+    assert np.allclose(np.asarray(jnp.tril(r, -1)), 0.0)
+
+
+def test_panel_wy_zero_tau_columns_are_identity_reflectors(rng):
+    """Zero panel columns (padded observations) must contribute H = I:
+    their T row/col is exactly zero and Q stays orthogonal."""
+    m, b = 20, 6
+    p = np.asarray(rng.randn(m, b), np.float32)
+    p[:, 2] = 0.0          # an interior zero column
+    p[:, 5] = 0.0          # and a trailing one
+    r, v, t = band._panel_wy(jnp.array(p))
+    tnp = np.asarray(t)
+    assert np.all(tnp[2, :] == 0) and np.all(tnp[:, 2] == 0)
+    assert np.all(tnp[5, :] == 0) and np.all(tnp[:, 5] == 0)
+    q = jnp.eye(m) - v @ t @ v.T
+    np.testing.assert_allclose(np.asarray(q.T @ q), np.eye(m), atol=2e-5)
+    qtp = np.asarray(q.T @ jnp.array(p))
+    np.testing.assert_allclose(qtp[b:], 0.0, atol=2e-5)
+
+
+def test_householder_qr_scan_matches_geqrf(rng):
+    """The pure-JAX fallback must reproduce geqrf's (V, τ) reflectors
+    up to the same Q (sign conventions may differ per column, so
+    compare the assembled orthogonal factor against jnp QR of P)."""
+    m, b = 16, 5
+    p = jnp.array(rng.randn(m, b), jnp.float32)
+    vt, taus = band._householder_qr_scan(p)
+    r = np.asarray(jnp.triu(vt[:b]))
+    # reconstruct Q by applying reflectors to identity sequentially
+    q = np.eye(m, dtype=np.float64)
+    vtn = np.asarray(vt, np.float64)
+    for j in range(b):
+        v = np.zeros(m)
+        v[j] = 1.0
+        v[j + 1:] = vtn[j + 1:, j]
+        q = q @ (np.eye(m) - float(taus[j]) * np.outer(v, v))
+    np.testing.assert_allclose(q.T @ np.asarray(p, np.float64),
+                               np.vstack([r, np.zeros((m - b, b))]),
+                               atol=3e-5)
+
+
+@pytest.mark.parametrize("n_real,npad,blk", [
+    (12, 16, 4),      # tiny, pad within last block
+    (40, 64, 8),      # three empty blocks at the tail (zero-τ panels)
+    (200, 256, 32),
+    (230, 256, 128),  # nb=2: no panels at all (pure remnant path)
+    (128, 128, 128),  # nb=1: single block
+])
+def test_band_marginal_matches_dense(n_real, npad, blk):
+    """band_marginal_factory ≡ log_marginal over realistic hypers —
+    including pads that cross panel boundaries (zero-τ columns) and
+    the nb ≤ 2 remnant-only degenerate shapes."""
+    x, y, mask = _problem(n_real, npad)
+    ls = jnp.array([0.5, 0.9], jnp.float32)
+    marg = band.band_marginal_factory(x, y, mask, ls, matern52, block=blk)
+    for mean, amp2, noise in [(0.1, 0.8, 1e-2), (-0.2, 0.3, 0.1),
+                              (0.0, 1.5, 1e-3)]:
+        got = float(marg(jnp.float32(mean), jnp.float32(amp2),
+                         jnp.float32(noise)))
+        want = float(log_marginal(
+            x, y, mask,
+            GPHypers(jnp.float32(mean), jnp.float32(amp2),
+                     jnp.float32(noise), ls), matern52))
+        assert got == pytest.approx(want, rel=2e-3, abs=2e-2), (
+            n_real, npad, blk, mean, amp2, noise)
+
+
+def test_reduction_is_an_exact_congruence(rng):
+    """QᵀMQ must reproduce M's spectrum-level quantities: check
+    logdet(amp2·T + dadd) against the dense matrix via the banded
+    blocks directly (no marginal wrapper), and that padded rows stay
+    EXACTLY inert (L diag 1 → zero logdet contribution)."""
+    x, y, mask = _problem(40, 64)
+    ls = jnp.array([0.6, 0.8], jnp.float32)
+    m0 = unit_cov_matrix(x, mask, ls, matern52)
+    vecs = jnp.stack([jnp.where(mask, y, 0.0),
+                      mask.astype(jnp.float32)], 1)
+    db, sb, vt = band.reduce_to_band(m0, vecs, 8)
+    amp2, noise = jnp.float32(0.7), jnp.float32(1e-2)
+    dadd = jnp.where(mask, noise, 1.0)
+    resid = vt[:, 0] - 0.05 * vt[:, 1]
+    ld, q = band.band_logdet_q(db, sb, amp2, dadd, resid)
+    # dense reference of the SAME quantity
+    kd = amp2 * m0 + jnp.diag(dadd)
+    chol = np.linalg.cholesky(np.asarray(kd, np.float64))
+    r_dense = np.asarray(jnp.where(mask, y, 0.0), np.float64) - 0.05 * \
+        np.asarray(mask, np.float64)
+    w = np.linalg.solve(chol, r_dense)
+    np.testing.assert_allclose(float(ld), np.log(np.diag(chol)).sum(),
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(q), w @ w, rtol=1e-3)
+    # padded tail of the transformed vectors is exactly zero
+    np.testing.assert_array_equal(np.asarray(vt[40:]), 0.0)
+
+
+def test_band_marginal_vmaps_over_chains():
+    x, y, mask = _problem(50, 64)
+    ls = jnp.array(np.random.RandomState(3).uniform(0.4, 1.1, (4, 2)),
+                   jnp.float32)
+    means = jnp.array([0.0, 0.1, -0.1, 0.2], jnp.float32)
+    amp2s = jnp.array([0.5, 1.0, 0.8, 1.2], jnp.float32)
+    noises = jnp.array([1e-2, 5e-3, 2e-2, 1e-2], jnp.float32)
+
+    def one(l_, m_, a_, n_):
+        marg = band.band_marginal_factory(x, y, mask, l_, matern52,
+                                          block=8)
+        return marg(m_, a_, n_)
+
+    got = jax.vmap(one)(ls, means, amp2s, noises)
+    for i in range(4):
+        want = one(ls[i], means[i], amp2s[i], noises[i])
+        np.testing.assert_allclose(float(got[i]), float(want), rtol=1e-4)
