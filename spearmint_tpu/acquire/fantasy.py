@@ -21,8 +21,8 @@ from spearmint_tpu.core.kernels import matern52
 from spearmint_tpu.core.likelihood import (
     GPHypers,
     JITTER,
-    cov_matrix,
     cross_cov,
+    unit_cov_matrix,
 )
 
 
@@ -41,10 +41,12 @@ def fantasize(
     Returns fantasy values of shape (P,), meaningful where pend_mask.
     """
     n_pend = pend.shape[0]
-    obs_cov = cov_matrix(x, mask, hypers.amp2, hypers.noise, hypers.ls, kernel)
-    obs_chol = linalg.cholesky(obs_cov)
+    # fused-path factorization — see fantasize_batch
+    m0 = unit_cov_matrix(x, mask, hypers.ls, kernel)
+    dadd = jnp.where(mask, hypers.noise, jnp.asarray(1.0, x.dtype))
     resid = jnp.where(mask, y - hypers.mean, 0.0)
-    alpha = linalg.chol_solve(obs_chol, resid)
+    obs_chol, alpha = linalg.factor_solve(
+        m0, jnp.asarray(hypers.amp2, x.dtype), dadd, resid)
 
     kx = cross_cov(x, pend, hypers.amp2, hypers.ls, kernel)
     kx = kx * mask[:, None]
@@ -86,10 +88,16 @@ def fantasize_batch(
     draws, so this is one Cholesky + F matvecs.
     """
     n_pend = pend.shape[0]
-    obs_cov = cov_matrix(x, mask, hypers.amp2, hypers.noise, hypers.ls, kernel)
-    obs_chol = linalg.cholesky(obs_cov)
+    # Observation-cov factorization through the SAME shifted fused path
+    # the sampler evaluated these hypers with (linalg.factor_solve →
+    # ops/pallas_gp on TPU; bit-identical XLA sequence elsewhere) — the
+    # r4 smoke proved separately-assembled refactorizations NaN at the
+    # f32 conditioning edge where the sampler's own form is finite.
+    m0 = unit_cov_matrix(x, mask, hypers.ls, kernel)
+    dadd = jnp.where(mask, hypers.noise, jnp.asarray(1.0, x.dtype))
     resid = jnp.where(mask, y - hypers.mean, 0.0)
-    alpha = linalg.chol_solve(obs_chol, resid)
+    obs_chol, alpha = linalg.factor_solve(
+        m0, jnp.asarray(hypers.amp2, x.dtype), dadd, resid)
 
     kx = cross_cov(x, pend, hypers.amp2, hypers.ls, kernel)
     kx = kx * mask[:, None]
@@ -98,7 +106,8 @@ def fantasize_batch(
 
     # HIGHEST on the projection GEMMs: pend_k is the near-cancelling
     # posterior covariance kappa − βᵀβ (same failure mode as EI's var —
-    # see acquire/ei.posterior_from_cache).
+    # see acquire/ei.posterior_from_cache).  tri_solve reads the lower
+    # triangle only (the fused factor's upper tiles contain garbage).
     hp = jax.lax.Precision.HIGHEST
     pend_m = hypers.mean + jnp.matmul(kx.T, alpha, precision=hp)
     beta = linalg.tri_solve(obs_chol, kx)

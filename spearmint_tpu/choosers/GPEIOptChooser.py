@@ -170,18 +170,23 @@ class GPEIOptChooser:
             inv = pad < 8192
         return chunk, bool(inv)
 
-    def _obs_suggest_fn(self, cfg):
-        """Compile-cached obs-sharded suggestion (engine/obs_shard)."""
+    def _obs_suggest_fn(self, cfg, factory_name="sharded_suggest_obs"):
+        """Compile-cached obs-sharded suggestion (engine/obs_shard).
+
+        ``factory_name`` selects the sharded step builder — the per-sec
+        chooser passes its dual-GP variant (sharded_suggest_per_sec).
+        """
         import jax
 
         from spearmint_tpu.engine import obs_shard
 
         ndev = len(jax.devices())
-        if self._obs_suggest and self._obs_suggest[0] == (cfg, ndev):
+        key = (cfg, ndev, factory_name)
+        if self._obs_suggest and self._obs_suggest[0] == key:
             return self._obs_suggest[1]
         mesh = obs_shard.make_obs_mesh()
-        fn = obs_shard.sharded_suggest_obs(mesh, cfg)
-        self._obs_suggest = ((cfg, ndev), fn)
+        fn = getattr(obs_shard, factory_name)(mesh, cfg)
+        self._obs_suggest = (key, fn)
         return fn
 
     def _emit_suggest(self, latency, n_obs, n_pending, n_cand, **extra):
@@ -239,7 +244,15 @@ class GPEIOptChooser:
         mask = np.arange(pad) < n
 
         p = pend.shape[0]
-        ppad = max(4, pad_bucket(max(p, 1), minimum=4))
+        # When the obs pad is fused-kernel-eligible (≥512, 128-aligned)
+        # pad pending to a multiple of 128 too, so the AUGMENTED
+        # (pad+ppad) factorization of the fantasy path stays on the
+        # fused Pallas route instead of falling back to XLA cholesky.
+        if pad >= 512 and pad % 128 == 0 and p > 0:
+            ppad = -(-p // 128) * 128   # 128-aligned (not the bucket
+            # ladder: its ¼-midpoints like 160 would break alignment)
+        else:
+            ppad = max(4, pad_bucket(max(p, 1), minimum=4))
         pend_p = np.zeros((ppad, ndim), np.float32)
         pend_p[:p] = pend
         pend_mask = np.arange(ppad) < p
@@ -269,11 +282,11 @@ class GPEIOptChooser:
         ndev = len(jax.devices())
         # Large-n production path: shard the n×n working set over an
         # `obs` device mesh (BASELINE config 5) once a single device's
-        # chains-vmap regime stops making sense.  Pending jobs fall back
-        # to the chains-mesh path (fantasization lives there).
-        use_obs = (self.obs_shard_min > 0 and ndev > 1
-                   and pad >= self.obs_shard_min and pad % ndev == 0
-                   and p == 0)
+        # chains-vmap regime stops making sense.  One shared gate for
+        # all GP choosers (engine/obs_shard.use_obs_gate).
+        from spearmint_tpu.engine.obs_shard import use_obs_gate
+
+        use_obs = use_obs_gate(self.obs_shard_min, ndev, pad, p)
         cfg = SuggestConfig(
             mcmc_iters=iters_per_chain,
             noiseless=self.noiseless,

@@ -106,7 +106,13 @@ class GPEIperSecChooser(GPEIOptChooser):
         mask = np.arange(pad) < n
 
         p = pend.shape[0]
-        ppad = max(4, pad_bucket(max(p, 1), minimum=4))
+        # 128-aligned pending pad when the obs pad is fused-eligible, so
+        # the augmented fantasy factorization stays on the fused kernel
+        # (see GPEIOptChooser.next).
+        if pad >= 512 and pad % 128 == 0 and p > 0:
+            ppad = -(-p // 128) * 128
+        else:
+            ppad = max(4, pad_bucket(max(p, 1), minimum=4))
         pend_p = np.zeros((ppad, ndim), np.float32); pend_p[:p] = pend
         pend_mask = np.arange(ppad) < p
 
@@ -139,6 +145,14 @@ class GPEIperSecChooser(GPEIOptChooser):
         # Same auto memory policy as the flagship (GPEIOptChooser
         # ._memory_policy): bound live [K, N, N] temps at large pads.
         chain_chunk, explicit_inv = self._memory_policy(pad)
+        ndev = len(jax.devices())
+        # Shared large-n routing gate (engine/obs_shard.use_obs_gate):
+        # at obs_shard_min+ pads on a multi-device mesh, BOTH of this
+        # chooser's n×n working sets (value GP and duration GP) shard
+        # over the obs axis instead of replicating per device.
+        from spearmint_tpu.engine.obs_shard import use_obs_gate
+
+        use_obs = use_obs_gate(self.obs_shard_min, ndev, pad, p)
         cfg = SuggestConfig(
             mcmc_iters=iters_per_chain,
             noiseless=self.noiseless,
@@ -155,11 +169,17 @@ class GPEIperSecChooser(GPEIOptChooser):
 
         key, ks = jax.random.split(key)
         t0 = _time.perf_counter()
-        res = suggest_step_per_sec(
-            ks, self._hypers, self._time_hypers, xj, yj, tj, mj,
-            jnp.array(pend_p), jnp.array(pend_mask),
-            jnp.array(cand_p), jnp.array(cand_mask), cfg,
-        )
+        if use_obs:
+            res = self._obs_suggest_fn(cfg, "sharded_suggest_per_sec")(
+                ks, self._hypers, self._time_hypers, xj, yj, tj, mj,
+                jnp.array(cand_p), jnp.array(cand_mask),
+            )
+        else:
+            res = suggest_step_per_sec(
+                ks, self._hypers, self._time_hypers, xj, yj, tj, mj,
+                jnp.array(pend_p), jnp.array(pend_mask),
+                jnp.array(cand_p), jnp.array(cand_mask), cfg,
+            )
         jax.block_until_ready(res.ei_per_s)
         latency = _time.perf_counter() - t0
         self._hypers = res.hypers
@@ -171,7 +191,8 @@ class GPEIperSecChooser(GPEIOptChooser):
             latency, n, p, c,
             ei_best=float(res.best_cand_ei), ei_opt=float(res.ei_opt),
             time_amp2_med=float(np.median(np.asarray(res.time_hypers.amp2))),
-            mode="chains", chain_chunk=chain_chunk, n_ok=n_ok,
+            mode="obs_shard" if use_obs else "chains",
+            chain_chunk=chain_chunk, n_ok=n_ok,
         )
         if n_ok == 0:
             # all cache factorizations failed — the average carries no

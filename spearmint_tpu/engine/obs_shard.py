@@ -238,6 +238,18 @@ def _backsolve(l_col, z):
 
 
 # ------------------------------------------------------------ public API
+def use_obs_gate(obs_shard_min: int, ndev: int, pad: int,
+                 n_pending: int) -> bool:
+    """The production obs-mesh routing decision, shared by the GP
+    choosers (GPEIOptChooser and GPEIperSecChooser): shard the n×n
+    working set over the `obs` mesh once the pad reaches
+    ``obs_shard_min`` on a multi-device runtime whose device count
+    divides the pad.  Pending jobs fall back to the chains-mesh path
+    (fantasization lives there)."""
+    return (obs_shard_min > 0 and ndev > 1 and pad >= obs_shard_min
+            and pad % ndev == 0 and n_pending == 0)
+
+
 def make_obs_mesh(n_devices: int | None = None,
                   devices=None) -> Mesh:
     import numpy as np
@@ -452,6 +464,139 @@ def sharded_suggest_obs(mesh: Mesh, config):
         return SuggestResult(
             hypers=GPHypers(*out[0:4]), samples=GPHypers(*out[4:8]),
             ei=out[8], best_cand=out[9], best_cand_ei=out[10],
+            x_opt=out[11], ei_opt=out[10], n_ok=out[12],
+        )
+
+    return wrapped
+
+
+def sharded_suggest_per_sec(mesh: Mesh, config):
+    """Obs-sharded EI-per-second suggestion (dual GP, large n).
+
+    VERDICT r4 next #5: before this, the per-sec chooser ran its TWO
+    n×n working sets (value GP + log-duration GP) replicated on every
+    device of a real mesh.  Same regime and same intentional deltas as
+    ``sharded_suggest_obs`` (no pending — the chooser falls back to the
+    chains path; no L-BFGS — the dense candidate sweep is the
+    optimizer); both chain families sweep with obs-sharded marginals
+    and each EI/sec sample builds two sharded factorizations.
+
+    Returns a callable (key, hypers, time_hypers, x, y, log_durs,
+    mask, cand, cand_mask) → engine.per_sec.PerSecResult.
+    """
+    from spearmint_tpu.core.likelihood import GPHypers, JITTER
+    from spearmint_tpu.engine.per_sec import PerSecResult
+    from spearmint_tpu.engine.suggest import _chunked_vmap, _flatten_samples
+    from spearmint_tpu.mcmc.chains import sample_hypers_lp
+
+    kernel = config.kernel
+    mcfg = config.mcmc._replace(
+        marginal=functools.partial(_marginal_colblock), band_joint=False)
+    iters = config.mcmc_iters
+    cand_chunk = 4096
+
+    def body(key, h_parts, t_parts, x, y, log_durs, mask, cand, cand_mask):
+        hypers = GPHypers(*h_parts)
+        t_hypers = GPHypers(*t_parts)
+        chains = hypers.mean.shape[0]
+        s = chains * iters
+        k_val, k_time, _ = jax.random.split(key, 3)
+
+        def family(k, h0s, data):
+            def chain_fn(kk, h0):
+                ks = jax.random.split(kk, iters)
+
+                def bd(carry, k2):
+                    h, lp = carry
+                    h2, lp2 = sample_hypers_lp(k2, h, lp, x, data, mask,
+                                               mcfg)
+                    return (h2, lp2), h2
+
+                lp0 = _marginal_colblock(x, data, mask, h0, kernel)
+                (h_out, _), samples = lax.scan(bd, (h0, lp0), ks)
+                return h_out, samples
+
+            h_last, samples = _chunked_vmap(chain_fn, config.chain_chunk)(
+                jax.random.split(k, chains), h0s)
+            return h_last, _flatten_samples(samples, s)
+
+        h_last, flat = family(k_val, hypers, y)
+        t_last, t_flat = family(k_time, t_hypers, log_durs)
+
+        c = cand.shape[0]
+        chunk = min(cand_chunk, c)
+        n_chunks = -(-c // chunk)
+        padded = n_chunks * chunk
+        cand_p = cand
+        if padded != c:
+            cand_p = jnp.concatenate(
+                [cand, jnp.broadcast_to(cand[:1],
+                                        (padded - c, cand.shape[1]))], 0)
+        chunks = cand_p.reshape(n_chunks, chunk, cand.shape[1])
+
+        def per_sample(pair):
+            h, th = pair
+            # value GP: sharded factorization + EI pieces
+            a_col = cov_colblock(x, mask, h.amp2, h.noise, h.ls, kernel)
+            l_col = cholesky_colblock(a_col)
+            resid = jnp.where(mask, y - h.mean, 0.0)
+            alpha = _backsolve(l_col, solve_colblock(l_col, resid))
+            best = jnp.min(jnp.where(mask, y, jnp.inf))
+            # duration GP: sharded factorization + posterior-mean pieces
+            ta_col = cov_colblock(x, mask, th.amp2, th.noise, th.ls,
+                                  kernel)
+            tl_col = cholesky_colblock(ta_col)
+            t_resid = jnp.where(mask, log_durs - th.mean, 0.0)
+            t_alpha = _backsolve(tl_col, solve_colblock(tl_col, t_resid))
+            ok = jnp.all(jnp.isfinite(alpha)) & jnp.all(
+                jnp.isfinite(t_alpha))
+
+            def eips_chunk(cc):
+                kx = h.amp2 * kernel(x, cc, h.ls) * mask[:, None]
+                mu = h.mean + jnp.matmul(kx.T, alpha,
+                                         precision=lax.Precision.HIGHEST)
+                beta = solve_colblock(l_col, kx)
+                var = h.amp2 * (1.0 + JITTER) - jnp.sum(beta * beta, 0)
+                sigma = jnp.sqrt(jnp.maximum(var, 1e-14))
+                u = (best - mu) / sigma
+                ei = sigma * (u * jax.scipy.stats.norm.cdf(u)
+                              + jax.scipy.stats.norm.pdf(u))
+                tkx = th.amp2 * kernel(x, cc, th.ls) * mask[:, None]
+                t_mu = th.mean + jnp.matmul(
+                    tkx.T, t_alpha, precision=lax.Precision.HIGHEST)
+                return ei / jnp.maximum(jnp.exp(t_mu), 1e-3)
+
+            return lax.map(eips_chunk, chunks).reshape(padded)[:c], ok
+
+        ei_samples, ok = lax.map(per_sample, (flat, t_flat))   # [S, C]
+        n_ok_true = jnp.sum(ok.astype(jnp.int32))
+        n_ok = jnp.maximum(n_ok_true.astype(ei_samples.dtype), 1.0)
+        ei_samples = jnp.where(ok[:, None] & jnp.isfinite(ei_samples),
+                               ei_samples, 0.0)
+        ei_mean = jnp.sum(ei_samples, axis=0) / n_ok
+        ei_masked = jnp.where(cand_mask, ei_mean, -jnp.inf)
+        best_cand = jnp.argmax(ei_masked)
+        best_ei = ei_masked[best_cand]
+        return (h_last.mean, h_last.amp2, h_last.noise, h_last.ls,
+                t_last.mean, t_last.amp2, t_last.noise, t_last.ls,
+                ei_mean, best_cand, best_ei, cand[best_cand], n_ok_true)
+
+    rep = P()
+    mapped = jax.shard_map(
+        body, mesh=mesh, in_specs=(rep,) * 9, out_specs=(rep,) * 13,
+        check_vma=False,
+    )
+    jitted = jax.jit(mapped)
+
+    def wrapped(key, hypers, time_hypers, x, y, log_durs, mask, cand,
+                cand_mask):
+        from spearmint_tpu.core.likelihood import GPHypers
+
+        out = jitted(key, tuple(hypers), tuple(time_hypers), x, y,
+                     log_durs, mask, cand, cand_mask)
+        return PerSecResult(
+            hypers=GPHypers(*out[0:4]), time_hypers=GPHypers(*out[4:8]),
+            ei_per_s=out[8], best_cand=out[9], best_cand_ei=out[10],
             x_opt=out[11], ei_opt=out[10], n_ok=out[12],
         )
 

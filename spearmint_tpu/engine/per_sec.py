@@ -94,7 +94,7 @@ def suggest_step_per_sec(
     # --- value-GP caches (with fantasies when pending) ------------------
     if config.has_pending:
         from spearmint_tpu.core import linalg as _lin
-        from spearmint_tpu.core.likelihood import cov_matrix
+        from spearmint_tpu.core.likelihood import unit_cov_matrix
 
         x_aug = jnp.concatenate([x, pend], axis=0)
         mask_aug = jnp.concatenate([mask, pend_mask], axis=0)
@@ -103,20 +103,33 @@ def suggest_step_per_sec(
         def val_cache(kk, h):
             # F fantasy draws share one augmented factorization (the
             # Cholesky depends only on X locations) — same batched
-            # fantasy axis as the flagship (engine/suggest.py).
+            # fantasy axis and fused-kernel routing as the flagship
+            # (engine/suggest.py per_sample_cache).
             fants = fantasize_batch(kk, x, y, mask, pend, pend_mask, h,
                                     n_fant, kernel)                # [F, P]
             y_augs = jnp.concatenate(
                 [jnp.broadcast_to(y, (n_fant,) + y.shape), fants], axis=1)
-            k_aug = cov_matrix(x_aug, mask_aug, h.amp2, h.noise, h.ls,
-                               kernel)
-            chol = _lin.cholesky(k_aug)
+            m0_aug = unit_cov_matrix(x_aug, mask_aug, h.ls, kernel)
+            dadd = jnp.where(mask_aug, h.noise,
+                             jnp.asarray(1.0, x.dtype))
+            amp2 = jnp.asarray(h.amp2, x.dtype)
             resid = jnp.where(mask_aug[None, :], y_augs - h.mean, 0.0)
-            alpha = _lin.chol_solve(chol, resid.T).T              # [F, N+P]
+            hp = jax.lax.Precision.HIGHEST
+            if config.explicit_inverse:
+                chol, linv, _ = _lin.cache_factor(m0_aug, amp2, dadd,
+                                                  resid[0])
+                w = jnp.matmul(linv, resid.T, precision=hp)
+                alpha = jnp.matmul(linv.T, w, precision=hp).T     # [F, N+P]
+            else:
+                chol, _ = _lin.factor_solve(m0_aug, amp2, dadd, resid[0])
+                linv = None
+                w = lax.linalg.triangular_solve(
+                    chol, resid.T, left_side=True, lower=True)
+                alpha = lax.linalg.triangular_solve(
+                    chol, w, left_side=True, lower=True,
+                    transpose_a=True).T                           # [F, N+P]
             best = jnp.min(jnp.where(mask_aug[None, :], y_augs, jnp.inf),
                            axis=1)                                 # [F]
-            linv = (_lin.tri_inverse(chol) if config.explicit_inverse
-                    else None)
             return ei_mod.PosteriorCache(chol=chol, alpha=alpha, best=best,
                                          hypers=h, linv=linv)
 

@@ -177,7 +177,7 @@ def suggest_step(
 
     # ---- posterior caches (one Cholesky per sample, batched) -----------
     if config.has_pending:
-        from spearmint_tpu.core.likelihood import cov_matrix
+        from spearmint_tpu.core.likelihood import unit_cov_matrix
         from spearmint_tpu.core import linalg as _lin
 
         x_aug = jnp.concatenate([x, pend], axis=0)
@@ -187,19 +187,40 @@ def suggest_step(
         def per_sample_cache(kk, h):
             # F fantasy draws share one augmented factorization: the
             # Cholesky depends only on X locations, not fantasy values.
+            # The factorization routes through the fused shifted kernel
+            # (linalg.cache_factor / factor_solve) exactly like the
+            # no-pending caches — same assembly/rounding the sampler
+            # evaluated these hypers with; the augmented pad lands on a
+            # supported bucket because the chooser pads pending to a
+            # multiple of 128 whenever the obs pad is fused-eligible.
             fants = fantasize_batch(kk, x, y, mask, pend, pend_mask, h,
                                     n_fant, kernel)               # [F, P]
             y_augs = jnp.concatenate(
                 [jnp.broadcast_to(y, (n_fant,) + y.shape), fants], axis=1)
-            k_aug = cov_matrix(x_aug, mask_aug, h.amp2, h.noise, h.ls,
-                               kernel)
-            chol = _lin.cholesky(k_aug)
+            m0_aug = unit_cov_matrix(x_aug, mask_aug, h.ls, kernel)
+            dadd = jnp.where(mask_aug, h.noise,
+                             jnp.asarray(1.0, x.dtype))
+            amp2 = jnp.asarray(h.amp2, x.dtype)
             resid = jnp.where(mask_aug[None, :], y_augs - h.mean, 0.0)
-            alpha = _lin.chol_solve(chol, resid.T).T              # [F, N+P]
+            hp = jax.lax.Precision.HIGHEST
+            if config.explicit_inverse:
+                chol, linv, _ = _lin.cache_factor(m0_aug, amp2, dadd,
+                                                  resid[0])
+                # α_f = K⁻¹r_f = L⁻ᵀ(L⁻¹ r_f): two GEMMs against L⁻¹
+                w = jnp.matmul(linv, resid.T, precision=hp)
+                alpha = jnp.matmul(linv.T, w, precision=hp).T     # [F, N+P]
+            else:
+                chol, _ = _lin.factor_solve(m0_aug, amp2, dadd, resid[0])
+                linv = None
+                # batched cho_solve reading the lower triangle only
+                # (the fused factor's upper tiles contain garbage)
+                w = lax.linalg.triangular_solve(
+                    chol, resid.T, left_side=True, lower=True)
+                alpha = lax.linalg.triangular_solve(
+                    chol, w, left_side=True, lower=True,
+                    transpose_a=True).T                           # [F, N+P]
             best = jnp.min(jnp.where(mask_aug[None, :], y_augs, jnp.inf),
                            axis=1)                                 # [F]
-            linv = (_lin.tri_inverse(chol) if config.explicit_inverse
-                    else None)
             return ei_mod.PosteriorCache(chol=chol, alpha=alpha, best=best,
                                          hypers=h, linv=linv)
 

@@ -249,3 +249,69 @@ def test_nan_sample_excluded_from_obs_sharded_ei(mesh, problem):
     np.testing.assert_allclose(ei, np.asarray(want.ei), rtol=2e-3,
                                atol=1e-6)
     assert int(got.best_cand) == int(want.best_cand)
+
+
+def test_sharded_suggest_per_sec_matches_single_device(mesh, problem):
+    """The obs-sharded dual-GP EI/sec suggestion (VERDICT r4 next #5)
+    must reproduce the single-device suggest_step_per_sec: same key →
+    identical chain randomness for both families."""
+    from spearmint_tpu.engine.per_sec import suggest_step_per_sec
+    from spearmint_tpu.engine.suggest import (
+        SuggestConfig, init_chain_states,
+    )
+
+    x, y, mask = problem
+    rng = np.random.RandomState(6)
+    log_durs = jnp.array(
+        np.where(np.asarray(mask), 1.0 + rng.rand(x.shape[0]), 0.0),
+        jnp.float32)
+    cand = jnp.array(rng.rand(64, x.shape[1]), jnp.float32)
+    cand_mask = jnp.ones(64, bool)
+    hypers = init_chain_states(y, mask, x.shape[1], chains=4)
+    t_hypers = init_chain_states(log_durs, mask, x.shape[1], chains=4)
+    cfg = SuggestConfig(mcmc_iters=2, optimize=False)
+    key = jax.random.PRNGKey(13)
+
+    got = obs_shard.sharded_suggest_per_sec(mesh, cfg)(
+        key, hypers, t_hypers, x, y, log_durs, mask, cand, cand_mask)
+    want = suggest_step_per_sec(
+        key, hypers, t_hypers, x, y, log_durs, mask,
+        jnp.zeros((4, x.shape[1]), jnp.float32), jnp.zeros(4, bool),
+        cand, cand_mask, cfg)
+
+    assert int(got.best_cand) == int(want.best_cand)
+    np.testing.assert_allclose(np.asarray(got.ei_per_s),
+                               np.asarray(want.ei_per_s), rtol=2e-3,
+                               atol=1e-7)
+    for fam in ("hypers", "time_hypers"):
+        for name in ("mean", "amp2", "noise", "ls"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(getattr(got, fam), name)),
+                np.asarray(getattr(getattr(want, fam), name)),
+                rtol=1e-3, err_msg=f"{fam}.{name}")
+    assert int(got.n_ok) == 8
+
+
+def test_per_sec_chooser_uses_obs_shard_path(tmp_path):
+    """The per-sec chooser routes through the shared use_obs gate."""
+    from spearmint_tpu.choosers import get_chooser
+    from spearmint_tpu.utils.events import EventLog
+
+    rng = np.random.RandomState(0)
+    chooser = get_chooser(
+        "GPEIperSecChooser", str(tmp_path),
+        "mcmc_iters=2,chains=2,burnin=2,obs_shard_min=32",
+    )
+    grid = rng.rand(80, 2)
+    values = np.full(80, np.nan)
+    durations = np.full(80, np.nan)
+    complete = np.arange(30)
+    values[complete] = np.sin(3 * grid[complete, 0])
+    durations[complete] = 1.0 + grid[complete, 1]
+    candidates = np.arange(30, 80)
+    out = chooser.next(grid, values, durations, candidates, [], complete)
+    assert (isinstance(out, (int, np.integer)) and out in candidates) or (
+        isinstance(out, tuple) and len(out) == 2)
+    ev = [e for e in EventLog(str(tmp_path)).read()
+          if e["kind"] == "suggest"][-1]
+    assert ev["mode"] == "obs_shard"
