@@ -281,6 +281,56 @@ def time_baseline_async(n, d, cands, n_pending, mcmc_iters=10):
     }
 
 
+def time_baseline_constrained(n, d, cands, mcmc_iters=10):
+    """Calibrated reference-CPU constrained-EI (probit latent GP) latency.
+
+    GPConstrainedEIChooser semantics (SURVEY.md §2 #17): per iteration
+    the reference slice-samples the value-GP hypers over the valid
+    observations (a full sweep of O(n³) evals), runs one constraint-
+    model sweep (ESS latent moves sharing one factorization, a compwise
+    ls move refactoring the n×n constraint covariance per evaluation,
+    and a closed-form amp2 move — the golden model counts its own O(n³)
+    factorizations), then sweeps the candidates with probit-weighted EI
+    (one EI sweep + one probit predictive sweep)."""
+    from spearmint_tpu.golden import numpy_ref as g
+
+    evals_per_sweep = _count_eval_calls(min(n, 400), d)
+
+    # constraint-sweep factorization count, geometry- not n-dependent
+    n_small = min(n, 400)
+    x_s, _, _ = make_problem(n_small, d, 16)
+    rng = np.random.RandomState(2)
+    z_s = np.where(rng.rand(n_small) > 0.25, 1.0, -1.0)
+    cgp = g.GoldenConstrainedGP(d, n_small, seed=0)
+    sweeps = 3
+    for _ in range(sweeps):
+        cgp.sample_constraint(x_s, z_s)
+    chols_per_sweep = cgp.chol_count / sweeps
+
+    x, y, cand = make_problem(n, d, cands)
+    ls = np.ones(d)
+    eval_times = _measure_eval_cost(x, y)
+
+    ei_times = _measure(lambda: g.compute_ei(x, y, cand, mean=0.0,
+                                             amp2=1.0, noise=1e-3, ls=ls))
+    cgp_full = g.GoldenConstrainedGP(d, n, seed=0)
+    pv_times = _measure(lambda: cgp_full.p_valid(x, cand))
+
+    def total(agg):
+        return mcmc_iters * (
+            (evals_per_sweep + chols_per_sweep) * agg(eval_times)
+            + agg(ei_times) + agg(pv_times))
+
+    return total(min), {
+        "evals_per_sweep": evals_per_sweep,
+        "constraint_chols_per_sweep": chols_per_sweep,
+        "per_eval_s": min(eval_times),
+        "ei_sweep_s": min(ei_times),
+        "p_valid_sweep_s": min(pv_times),
+        "range_s": (total(min), total(max)),
+    }
+
+
 def time_tpu_per_sec(n, d, chains, cands, reps, lbfgs_iters=10,
                      grid_subset=5, chain_chunk=0, explicit_inverse=True):
     """Dual-GP EI/sec suggestion latency (BASELINE config 3)."""
@@ -438,7 +488,8 @@ PRESETS = {
 
 # presets whose CPU-golden baseline is feasible to measure in-run
 _BASELINE_OK = {"branin", "hartmann", "large", "per_sec",
-                "per_sec_large", "async", "async_large", None}
+                "per_sec_large", "async", "async_large", "constrained",
+                None}
 
 
 def run_config(preset, n, d, chains, cands, reps, extra, skip_baseline):
@@ -458,6 +509,8 @@ def run_config(preset, n, d, chains, cands, reps, extra, skip_baseline):
     else:
         if fn_kind == "per_sec":
             baseline, detail = time_baseline_per_sec(n, d, cands)
+        elif fn_kind == "constrained":
+            baseline, detail = time_baseline_constrained(n, d, cands)
         elif extra.get("n_pending", 0) > 0:
             baseline, detail = time_baseline_async(n, d, cands,
                                                    extra["n_pending"])

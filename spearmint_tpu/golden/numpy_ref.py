@@ -224,3 +224,107 @@ def suggest(comp, vals, cand, mcmc_iters=10, noiseless=False, seed=0,
             ei_sum += compute_ei(comp, vals, cand, mean, amp2, noise, ls)
     ei_mean = ei_sum / mcmc_iters
     return int(np.argmax(ei_mean)), ei_mean, samples
+
+
+# ----------------------------------------------- constrained (probit) model
+def elliptical_slice(f, chol, loglik, rng):
+    """Murray/Adams/MacKay (2010) elliptical slice sampling, one move.
+
+    Golden counterpart of mcmc/ess.py for the constraint chooser's
+    latent probit GP (engine/constrained.py): prior draw ν ~ N(0, K)
+    via the supplied Cholesky, then shrink on the ellipse."""
+    nu = chol @ rng.randn(f.shape[0])
+    log_y = loglik(f) + np.log(rng.rand())
+    theta = rng.rand() * 2.0 * np.pi
+    lo, hi = theta - 2.0 * np.pi, theta
+    while True:
+        fp = f * np.cos(theta) + nu * np.sin(theta)
+        if loglik(fp) > log_y:
+            return fp
+        if theta < 0:
+            lo = theta
+        else:
+            hi = theta
+        theta = lo + (hi - lo) * rng.rand()
+
+
+def probit_loglik(f, z):
+    """Σ log Φ(z·f) — the constraint classifier likelihood."""
+    return float(np.sum(sps.norm.logcdf(z * f)))
+
+
+class GoldenConstrainedGP:
+    """Single-chain constrained-EI constraint model (CPU float64).
+
+    Mirrors engine/constrained.py's per-sweep structure — ESS latent
+    moves under one prior factorization, a compwise ls slice move whose
+    every evaluation refactors the n×n constraint covariance, and a
+    closed-form amp2 move off one unit-covariance factorization — so
+    bench.py can count the O(n³) factorizations per sweep the same way
+    _count_eval_calls does for the value GP."""
+
+    def __init__(self, ndim, n, max_ls=MAX_LS, seed=0):
+        self.ndim = ndim
+        self.max_ls = max_ls
+        self.ls = np.ones(ndim)
+        self.amp2 = 1.0
+        self.ff = np.zeros(n)
+        self.rng = np.random.RandomState(seed)
+        self.chol_count = 0   # O(n³) factorizations, cumulative
+
+    def _cov(self, x, ls=None, amp2=None):
+        ls = self.ls if ls is None else ls
+        amp2 = self.amp2 if amp2 is None else amp2
+        n = x.shape[0]
+        return amp2 * (matern52(x, x, ls) + JITTER * np.eye(n))
+
+    def sample_constraint(self, x, z, ess_sweeps=4):
+        # latent ESS moves share one prior factorization
+        chol = spla.cholesky(self._cov(x), lower=True)
+        self.chol_count += 1
+        for _ in range(ess_sweeps):
+            self.ff = elliptical_slice(
+                self.ff, chol, lambda f: probit_loglik(f, z), self.rng)
+
+        def ls_logprob(ls):
+            if np.any(ls <= 0) or np.any(ls > self.max_ls):
+                return -np.inf
+            c = spla.cholesky(self._cov(x, ls=ls), lower=True)
+            self.chol_count += 1
+            w = spla.solve_triangular(c, self.ff, lower=True)
+            return -np.sum(np.log(np.diag(c))) - 0.5 * np.dot(w, w)
+
+        self.ls = slice_sample(self.ls, ls_logprob, self.rng,
+                               compwise=True)
+
+        # amp2: every slice eval closed-form off ONE unit factorization
+        unit_chol = spla.cholesky(self._cov(x, amp2=1.0), lower=True)
+        self.chol_count += 1
+        wu = spla.solve_triangular(unit_chol, self.ff, lower=True)
+        quad = np.dot(wu, wu)
+        half_logdet = np.sum(np.log(np.diag(unit_chol)))
+        n_eff = x.shape[0]
+
+        def amp2_logprob(a_vec):
+            a = a_vec[0]
+            if a <= 0:
+                return -np.inf
+            return (-0.5 * n_eff * np.log(a) - half_logdet
+                    - 0.5 * quad / a
+                    - 0.5 * (np.log(np.sqrt(a)) / AMP2_SCALE) ** 2)
+
+        self.amp2 = float(slice_sample(np.array([self.amp2]),
+                                       amp2_logprob, self.rng,
+                                       compwise=True)[0])
+        return self.ls, self.amp2, self.ff
+
+    def p_valid(self, x, cand):
+        """Probit predictive feasibility Φ(μ/√(1+σ²)) at candidates."""
+        chol = spla.cholesky(self._cov(x), lower=True)
+        alpha = spla.cho_solve((chol, True), self.ff)
+        kx = self.amp2 * matern52(x, cand, self.ls)
+        mu = kx.T @ alpha
+        beta = spla.solve_triangular(chol, kx, lower=True)
+        var = self.amp2 * (1.0 + JITTER) - np.sum(beta * beta, axis=0)
+        var = np.maximum(var, 1e-10)
+        return sps.norm.cdf(mu / np.sqrt(1.0 + var))

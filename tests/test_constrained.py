@@ -247,3 +247,35 @@ def test_constrained_acquisition_formula_matches_golden_at_fixed_state():
     np.testing.assert_allclose(pv, want_pv, rtol=2e-3, atol=2e-4)
     np.testing.assert_allclose(got, want, rtol=5e-3,
                                atol=5e-4 * np.abs(want).max())
+
+
+def test_golden_constrained_model_learns_labels():
+    """The golden probit-constraint oracle (the constrained bench
+    denominator, VERDICT r4 next #6) must actually classify: latents
+    track structured labels and the probit predictive separates the
+    valid from the invalid region."""
+    from spearmint_tpu.golden import numpy_ref as g
+
+    rng = np.random.RandomState(0)
+    n, d = 60, 2
+    x = rng.rand(n, d)
+    z = np.where(x[:, 0] > 0.4, 1.0, -1.0)
+    cgp = g.GoldenConstrainedGP(d, n, seed=1)
+    for _ in range(20):
+        _, amp2, ff = cgp.sample_constraint(x, z)
+    assert np.corrcoef(ff, z)[0, 1] > 0.5
+    assert amp2 > 0
+    pv = cgp.p_valid(x, x)
+    assert pv[z > 0].mean() > pv[z < 0].mean() + 0.2
+    # factorization accounting used by the bench denominator
+    assert cgp.chol_count >= 20 * 3  # >= (ESS + >=1 ls eval + amp2)/sweep
+
+
+def test_constrained_baseline_calibration_smoke():
+    from bench import time_baseline_constrained
+
+    b, det = time_baseline_constrained(120, 2, 64, mcmc_iters=2)
+    assert b > 0 and np.isfinite(b)
+    assert det["constraint_chols_per_sweep"] > 2
+    lo, hi = det["range_s"]
+    assert lo <= b <= hi or np.isclose(lo, b)
