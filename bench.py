@@ -41,7 +41,8 @@ def make_problem(n, d, cands, seed=0):
 
 def time_tpu(n, d, chains, cands, reps, lbfgs_iters=20, grid_subset=10,
              n_pending=0, n_fantasies=10, kernel_name="Matern52",
-             explicit_inverse=True, chain_chunk=0, obs_shard=False):
+             explicit_inverse=True, chain_chunk=0, obs_shard=False,
+             band_joint="auto"):
     import jax
     import jax.numpy as jnp
 
@@ -52,6 +53,11 @@ def time_tpu(n, d, chains, cands, reps, lbfgs_iters=20, grid_subset=10,
 
     x, y, cand = make_problem(n, d, cands)
     pad = pad_bucket(n)
+    if band_joint == "auto":
+        # r5 measured every implementable band-mode evaluator at
+        # break-even or worse (docs/PROFILE_r5.md) — default off, flag
+        # kept for experiments (mirrors the chooser's band_joint_min=0)
+        band_joint = False
     xp = np.zeros((pad, d), np.float32); xp[:n] = x
     yp = np.zeros(pad, np.float32); yp[:n] = y
     mask = np.arange(pad) < n
@@ -72,7 +78,8 @@ def time_tpu(n, d, chains, cands, reps, lbfgs_iters=20, grid_subset=10,
                         has_pending=n_pending > 0, n_fantasies=n_fantasies,
                         kernel_name=kernel_name,
                         explicit_inverse=explicit_inverse,
-                        chain_chunk=chain_chunk)
+                        chain_chunk=chain_chunk,
+                        band_joint=bool(band_joint))
 
     key = jax.random.PRNGKey(0)
 

@@ -53,6 +53,16 @@ class GPEIOptChooser:
         chain_chunk=-1,        # -1: auto memory policy (see next());
                                # 0: plain vmap; >0: explicit group size
         explicit_inverse=-1,   # -1: auto (off at large pad); 0/1 force
+        band_joint_min=0,      # pad size from which the joint slice
+                               # move runs through the per-move band
+                               # reduction (ops/band).  DEFAULT OFF:
+                               # r5 measured the XLA-level evaluators
+                               # at break-even vs the fused dense
+                               # kernel and the Mosaic cyclic-reduction
+                               # kernel hangs this toolchain's compile
+                               # (docs/PROFILE_r5.md has the full
+                               # decision tree); the knob remains for
+                               # experiments and future toolchains
     ):
         self.expt_dir = expt_dir
         self.covar = str(covar)
@@ -67,6 +77,7 @@ class GPEIOptChooser:
         self.obs_shard_min = int(obs_shard_min)
         self.chain_chunk = int(chain_chunk)
         self.explicit_inverse = int(explicit_inverse)
+        self.band_joint_min = int(band_joint_min)
         self._obs_suggest = None  # (cfg, ndev, fn) compile cache
         self.seed = int(seed)
         self.optimize = True  # GPEIChooser subclass flips this off
@@ -287,6 +298,17 @@ class GPEIOptChooser:
         from spearmint_tpu.engine.obs_shard import use_obs_gate
 
         use_obs = use_obs_gate(self.obs_shard_min, ndev, pad, p)
+        # Joint-move band mode (ops/band): per-move band reduction +
+        # Mosaic cyclic-reduction evaluations.  TPU-only (the win is
+        # the in-kernel column-issue cost; XLA-level evaluators
+        # measured break-even) and large pads only (the
+        # _effective_jitter floor bounds the CR algebra's O(cond·ε)
+        # drift).  The obs-sharded path has its own marginal.
+        use_band = (self.band_joint_min > 0
+                    and pad >= self.band_joint_min
+                    and pad % 128 == 0
+                    and not use_obs
+                    and jax.default_backend() == "tpu")
         cfg = SuggestConfig(
             mcmc_iters=iters_per_chain,
             noiseless=self.noiseless,
@@ -298,6 +320,7 @@ class GPEIOptChooser:
             n_fantasies=self.pending_samples,
             chain_chunk=chain_chunk,
             explicit_inverse=explicit_inv,
+            band_joint=use_band,
         )
         import contextlib
         import time as _time

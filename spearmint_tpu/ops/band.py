@@ -226,15 +226,297 @@ def band_logdet_q(d_blocks: jnp.ndarray, s_blocks: jnp.ndarray,
     return ld, q
 
 
-def band_marginal_factory(x, y, mask, ls, kernel, block: int = 128):
+def _chol_small(a):
+    """Serial Cholesky of a [..., b, b] SPD value (value-level, XLA).
+
+    The same two-vector-pass column recurrence as the fused kernel's
+    ``_factor_base`` (ops/pallas_gp.py) with ``dynamic_slice`` column
+    extraction instead of the in-kernel lane roll.  Returns (L, d) with
+    d the [..., b] diagonal pivots; half-logdet = Σ log d.  The batch
+    dims flatten chains × blocks, so cyclic reduction factors EVERY
+    eliminated block of a level in one b-column sweep.
+    """
+    b = a.shape[-1]
+    dtype = a.dtype
+    lanes = lax.broadcasted_iota(jnp.int32, (1, b), 1)
+
+    def one_col(j, carry):
+        a, dvec = carry
+        col = lax.dynamic_slice_in_dim(a, j, 1, axis=-1)[..., 0]
+        d2 = lax.dynamic_slice_in_dim(col, j, 1, axis=-1)[..., 0]
+        inv_d = lax.rsqrt(d2)
+        d = d2 * inv_d
+        onev = (lanes == j).astype(dtype)[0]
+        below = (lanes >= j).astype(dtype)[0]
+        l = col * inv_d[..., None] * below
+        a = a + l[..., :, None] * (onev - l)[..., None, :]
+        dvec = dvec + d[..., None] * onev
+        return a, dvec
+
+    init = (a, jnp.zeros(a.shape[:-1], dtype))
+    return lax.fori_loop(0, b, one_col, init, unroll=4)
+
+
+def _tri_inv_small(lmat, dvec, newton: int = 1):
+    """[..., b, b] lower-triangular inverse by nilpotent repeated
+    squaring (the fused kernel's ``_tri_inv_sq`` algebra): L = (I+S)D,
+    (I+S)⁻¹ = Σ(−S)^k in ⌈log₂ b⌉ MXU doublings — no substitution
+    loop, so the cyclic-reduction solves become pure GEMMs.
+
+    ``newton`` refinement steps X ← X(2I − LX) square the residual
+    away: the raw doubling accumulates ~cond(L)·ε over log₂ b GEMMs,
+    which at the 1e-6-jitter small-n regime (no _effective_jitter
+    floor) was measured drifting the CR marginal ~1 nat off the
+    substitution path; one step restores substitution-grade accuracy
+    for two extra GEMMs per level.
+    """
+    b = lmat.shape[-1]
+    dtype = lmat.dtype
+    rows = lax.broadcasted_iota(jnp.int32, (b, b), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (b, b), 1)
+    strict = (rows > cols).astype(dtype)
+    eye = (rows == cols).astype(dtype)
+    inv_d = 1.0 / dvec
+    neg_s = -(lmat * strict) * inv_d[..., None, :]
+    y = eye + neg_s
+    p = neg_s
+    for _ in range(max(0, (b - 1).bit_length() - 1)):
+        p = jnp.matmul(p, p, precision=HP)
+        y = y + jnp.matmul(y, p, precision=HP)
+    x = y * inv_d[..., :, None]
+    ltri = lmat * (strict + eye)   # masked lower triangle (diag = dvec)
+    for _ in range(newton):
+        lx = jnp.matmul(ltri, x, precision=HP)
+        x = x + jnp.matmul(x, eye - lx, precision=HP)
+    return x
+
+
+def cr_logdet_q(d_blocks: jnp.ndarray, s_blocks: jnp.ndarray,
+                amp2: jnp.ndarray, dadd: jnp.ndarray,
+                resid: jnp.ndarray):
+    """Block CYCLIC REDUCTION evaluation of K = amp2·T + diag(dadd).
+
+    Same contract as ``band_logdet_q`` but log₂(nb) levels deep instead
+    of nb sequential steps: at each level every ODD block row is
+    eliminated simultaneously (they are mutually uncoupled in a block
+    tridiagonal), which is symmetric block Gaussian elimination under a
+    nested-dissection permutation — exact, SPD-stable, and
+    det-preserving:
+
+        logdet K = Σ_levels Σ_odd logdet(A_i) + logdet(final block)
+        rᵀK⁻¹r  = Σ_levels Σ_odd ‖L_i⁻¹r_i‖² + ‖L_f⁻¹r_f‖²
+
+    with the even neighbors Schur-updated per level.  Each level is ONE
+    b-column Cholesky sweep batched over all (chains × odd blocks) plus
+    MXU GEMMs — total sequential column count b·log₂(nb) vs the scan's
+    n, which is what the TPU's per-op issue latency actually prices
+    (~6 µs/column, batch-size-invariant; docs/PROFILE_r4.md).
+
+    nb must be a power of two ≥ 2 — callers pad with inert identity
+    blocks (A=I, B=0, r=0: zero logdet/quad contribution).
+    """
+    nb, b, _ = d_blocks.shape
+    assert nb & (nb - 1) == 0 and nb >= 2, nb
+    eyeb = jnp.eye(b, dtype=d_blocks.dtype)
+    a = amp2 * d_blocks + dadd.reshape(nb, b)[:, :, None] * eyeb
+    bb = amp2 * s_blocks            # bb[i] couples block i+1 ← i
+    r = resid.reshape(nb, b)
+    ld, q = _cr_body(a[None], bb[None], r[None], newton=1,
+                     chol_fn=_chol_small)
+    return ld[0], q[0]
+
+
+def _shift_down(x):
+    """x[:, i] → slot i+1, zero into slot 0 (concat, Mosaic-friendly —
+    no zero-sized slices: a single-slot level shifts to all-zero)."""
+    if x.shape[1] == 1:
+        return jnp.zeros_like(x)
+    zero = jnp.zeros_like(x[:, :1])
+    return jnp.concatenate([zero, x[:, :-1]], axis=1)
+
+
+def _cr_body(a, bb, r, newton, chol_fn):
+    """The cyclic-reduction recursion on VALUES, shared by the XLA
+    evaluator and the Mosaic kernel (whole batch resident in VMEM).
+    a: [K, m, b, b] assembled diagonal blocks, bb: [K, m, b, b]
+    subdiagonal blocks (bb[:, i]: block i+1 ← i, last slot zero),
+    r: [K, m, b].  ``chol_fn``: [G, b, b] → (L, d) — ``_chol_small``
+    under XLA, the fused kernel's lane-roll ``_factor_base`` in-kernel.
+    Returns (ld [K], q [K])."""
+    k_batch, m, b, _ = a.shape
+    # accumulators stay 2-D: Mosaic's vector layouts reject rank-1
+    # values (observed compiler check-failure on [K] accumulators)
+    ld = jnp.zeros((k_batch, 1), a.dtype)
+    q = jnp.zeros((k_batch, 1), a.dtype)
+
+    def fact(blocks):
+        """chol + inverse of [K, h, b, b], flattened so the serial
+        b-column sweep is paid ONCE for all chains × blocks."""
+        h = blocks.shape[1]
+        flat = blocks.reshape(k_batch * h, b, b)
+        lmat, dpiv = chol_fn(flat)
+        linv = _tri_inv_small(lmat, dpiv, newton=newton)
+        return (dpiv.reshape(k_batch, h, b),
+                linv.reshape(k_batch, h, b, b))
+
+    def mm(lhs, rhs):
+        # Mosaic's tpu.matmul supports at most ONE batch dim — all CR
+        # GEMMs run on (chains × blocks)-flattened [G, b, ·] operands.
+        return jnp.matmul(lhs, rhs, precision=HP)
+
+    while m > 1:
+        h = m // 2
+        g_flat = k_batch * h
+        a2 = a.reshape(k_batch, h, 2, b, b)
+        b2 = bb.reshape(k_batch, h, 2, b, b)
+        r2 = r.reshape(k_batch, h, 2, b)
+        a_od, a_ev = a2[:, :, 1], a2[:, :, 0]
+        b_left = b2[:, :, 0].reshape(g_flat, b, b)
+        b_right = b2[:, :, 1].reshape(g_flat, b, b)
+        r_od, r_ev = r2[:, :, 1].reshape(g_flat, b), r2[:, :, 0]
+
+        dpiv, linv = fact(a_od)
+        linv = linv.reshape(g_flat, b, b)
+        g1 = mm(linv, b_left)
+        g2 = mm(linv, jnp.swapaxes(b_right, -1, -2))
+        g = mm(linv, r_od[..., None])[..., 0]
+        ld = ld + jnp.sum(jnp.log(dpiv).reshape(k_batch, h * b),
+                          axis=1, keepdims=True)
+        q = q + jnp.sum((g * g).reshape(k_batch, h * b), axis=1,
+                        keepdims=True)
+
+        upd_l = mm(jnp.swapaxes(g1, -1, -2), g1)
+        upd_r = mm(jnp.swapaxes(g2, -1, -2), g2)
+        rl = mm(jnp.swapaxes(g1, -1, -2), g[..., None])[..., 0]
+        rr = mm(jnp.swapaxes(g2, -1, -2), g[..., None])[..., 0]
+        a_ev = (a_ev - upd_l.reshape(k_batch, h, b, b)
+                - _shift_down(upd_r.reshape(k_batch, h, b, b)))
+        r_ev = (r_ev - rl.reshape(k_batch, h, b)
+                - _shift_down(rr.reshape(k_batch, h, b)))
+        # new even↔even coupling through the eliminated odd block
+        # (last slot stays zero: bb[:, m-1] is always the zero pad)
+        bb = mm(jnp.swapaxes(g2, -1, -2), -g1).reshape(k_batch, h, b, b)
+        a, r, m = a_ev, r_ev, h
+
+    dpiv, linv = fact(a)
+    g = mm(linv.reshape(k_batch, b, b), r.reshape(k_batch, b, 1))[..., 0]
+    ld = ld + jnp.sum(jnp.log(dpiv).reshape(k_batch, b), axis=1,
+                      keepdims=True)
+    q = q + jnp.sum(g * g, axis=1, keepdims=True)
+    return ld[:, 0], q[:, 0]
+
+
+def cr_logdet_q_pallas(a, bb, r, newton: int = 1,
+                       interpret: bool | None = None):
+    """Mosaic cyclic-reduction evaluator: the whole batched recursion
+    (_cr_body) in one kernel, so the b·log₂(nb) serial columns pay the
+    in-kernel ~6 µs/column issue cost instead of XLA's ~50 µs/op loop
+    overhead (the XLA-level evaluator measured 65 ms at the flagship
+    shape — slower than the sequential scan; docs/PROFILE_r5.md).
+
+    a: [K, m, b, b] ASSEMBLED diagonal blocks amp2·D + diag(dadd)
+    (assembly is one cheap XLA elementwise pass), bb: [K, m, b, b]
+    scaled subdiagonal blocks, r: [K, m·b].  m must be a power of two
+    (inert-padded).  Returns (ld [K], q [K]).  Everything lives in
+    VMEM: 2·K·m·b² f32 ≈ 40 MB at the flagship shape plus the
+    recursion's transients — v5e budgets 128 MB.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from spearmint_tpu.ops import pallas_gp as pg
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    k_batch, m, b, _ = a.shape
+
+    def kernel(a_ref, bb_ref, r_ref, out_ref):
+        ld, q = _cr_body(a_ref[:], bb_ref[:],
+                         r_ref[:].reshape(k_batch, m, b), newton,
+                         chol_fn=pg._factor_base)
+        out_ref[:] = jnp.concatenate([ld[:, None], q[:, None]], axis=1)
+
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((k_batch, 2), a.dtype),
+        in_specs=[vmem] * 3,
+        out_specs=vmem,
+        interpret=pg._interpret_params() if interpret else False,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024,
+        ),
+    )(a, bb, r)
+    return out[:, 0], out[:, 1]
+
+
+@jax.custom_batching.custom_vmap
+def cr_eval(d_blocks, s_blocks, amp2, dadd, resid):
+    """(ld, q) of amp2·T + diag(dadd) by cyclic reduction — ONE chain.
+
+    The custom_vmap rule batches the whole call: a chains-vmapped joint
+    move dispatches every chain's evaluation into one Mosaic kernel
+    (cr_logdet_q_pallas) on TPU — the same batching pattern as
+    linalg.fma_logdet_q — or one batched XLA recursion elsewhere.
+    """
+    return cr_logdet_q(d_blocks, s_blocks, amp2, dadd, resid)
+
+
+def _cr_assemble(d_blocks, s_blocks, amp2, dadd, resid):
+    """[K,...] batched assembly of the CR inputs (one XLA pass)."""
+    k_batch, m, b, _ = d_blocks.shape
+    eyeb = jnp.eye(b, dtype=d_blocks.dtype)
+    a = (amp2[:, None, None, None] * d_blocks
+         + dadd.reshape(k_batch, m, b)[..., None] * eyeb)
+    bb = amp2[:, None, None, None] * s_blocks
+    return a, bb
+
+
+def _cr_pallas_fits(k_batch, m, b) -> bool:
+    # two [K, m, b, b] f32 residents + recursion transients ≤ ~90 MB
+    return 2 * 4 * k_batch * m * b * b <= 90 * 1024 * 1024
+
+
+@cr_eval.def_vmap
+def _cr_eval_vmap(axis_size, in_batched, d_blocks, s_blocks, amp2, dadd,
+                  resid):
+    args = [d_blocks, s_blocks, amp2, dadd, resid]
+    args = [a if ab else jnp.broadcast_to(a, (axis_size,) + a.shape)
+            for a, ab in zip(args, in_batched)]
+    d_blocks, s_blocks, amp2, dadd, resid = args
+    k_batch, m, b, _ = d_blocks.shape
+    a, bb = _cr_assemble(d_blocks, s_blocks, amp2, dadd, resid)
+    if (jax.default_backend() == "tpu"
+            and _cr_pallas_fits(k_batch, m, b) and b % 4 == 0):
+        ld, q = cr_logdet_q_pallas(a, bb, resid)
+    else:
+        ld, q = _cr_body(a, bb, resid.reshape(k_batch, m, b), 1,
+                         _chol_small)
+    return (ld, q), (True, True)
+
+
+def band_marginal_factory(x, y, mask, ls, kernel, block: int = 128,
+                          use_cr: bool | None = None):
     """Precompute the per-move reduction and return an O(n·b²) marginal.
 
     Returns ``marginal(mean, amp2, noise) -> lp`` evaluating the exact
     GP log marginal (reference formula, core/likelihood.log_marginal
     semantics, NaN→−inf) through the banded form.  Call once per joint
     move (ls fixed); the closure is what the slice sampler evaluates.
+    ``use_cr`` routes evaluations through the log-depth cyclic-
+    reduction evaluator (the production path — the sequential scan's
+    nb × ~1 ms op-issue latency made it break even against the fused
+    dense kernel, docs/PROFILE_r5.md); the scan evaluator remains as
+    the reference implementation for tests.  Default (None): CR at
+    pads ≥ 2048 — where ``_effective_jitter`` floors the condition
+    number, bounding the explicit-inverse algebra's O(cond·ε) drift at
+    the same ~1e-4 level as the fused kernel's own block inverses —
+    and the substitution scan below.
     """
     from spearmint_tpu.core.likelihood import unit_cov_matrix
+
+    if use_cr is None:
+        use_cr = x.shape[0] >= 2048
 
     m0 = unit_cov_matrix(x, mask, ls, kernel)
     fmask = mask.astype(x.dtype)
@@ -242,10 +524,24 @@ def band_marginal_factory(x, y, mask, ls, kernel, block: int = 128):
     d_blocks, s_blocks, vt = reduce_to_band(m0, vecs, block)
     uy, um = vt[:, 0], vt[:, 1]
 
+    if use_cr:
+        nb = d_blocks.shape[0]
+        mb = max(2, 1 << (nb - 1).bit_length())
+        ext = mb * block - nb * block
+        uy = jnp.concatenate([uy, jnp.zeros((ext,), uy.dtype)])
+        um = jnp.concatenate([um, jnp.zeros((ext,), um.dtype)])
+        mask_e = jnp.concatenate([mask, jnp.zeros((ext,), bool)])
+        zb = jnp.zeros((mb - nb, block, block), d_blocks.dtype)
+        d_blocks = jnp.concatenate([d_blocks, zb])
+        s_blocks = jnp.concatenate([s_blocks, zb])
+        eval_fn, mask_use = cr_eval, mask_e
+    else:
+        eval_fn, mask_use = band_logdet_q, mask
+
     def marginal(mean, amp2, noise):
-        dadd = jnp.where(mask, noise, jnp.asarray(1.0, x.dtype))
+        dadd = jnp.where(mask_use, noise, jnp.asarray(1.0, x.dtype))
         resid = uy - mean * um
-        ld, q = band_logdet_q(d_blocks, s_blocks, amp2, dadd, resid)
+        ld, q = eval_fn(d_blocks, s_blocks, amp2, dadd, resid)
         lp = -ld - 0.5 * q
         return jnp.where(jnp.isnan(lp), -jnp.inf, lp)
 

@@ -150,3 +150,94 @@ def test_band_marginal_vmaps_over_chains():
     for i in range(4):
         want = one(ls[i], means[i], amp2s[i], noises[i])
         np.testing.assert_allclose(float(got[i]), float(want), rtol=1e-4)
+
+
+@pytest.mark.parametrize("n_real,npad,blk", [
+    (12, 16, 4),      # nb=4 (already a power of two)
+    (40, 64, 8),      # nb=8
+    (300, 320, 32),   # nb=10 → padded to 16 with inert blocks
+    (230, 256, 128),  # nb=2 (single CR level)
+    (128, 128, 128),  # nb=1 → padded to 2
+])
+def test_cr_marginal_matches_scan_and_dense(n_real, npad, blk):
+    """The cyclic-reduction evaluator (the production band-mode path)
+    must agree with both the sequential-scan evaluator and the dense
+    marginal, across power-of-two and padded block counts."""
+    x, y, mask = _problem(n_real, npad)
+    ls = jnp.array([0.5, 0.9], jnp.float32)
+    cr = band.band_marginal_factory(x, y, mask, ls, matern52, block=blk,
+                                    use_cr=True)
+    sc = band.band_marginal_factory(x, y, mask, ls, matern52, block=blk,
+                                    use_cr=False)
+    # No 1e-3-noise corner here: at small pads (no _effective_jitter
+    # floor, cond ~1e6) the CR explicit-inverse algebra drifts
+    # O(cond·ε) ~ 0.5 nats — which is why the factory auto-gates CR to
+    # pads ≥ 2048, where the jitter floor caps the drift at the fused
+    # kernel's own ~1e-4 level (measured: docs/PROFILE_r5.md).
+    for mean, amp2, noise in [(0.1, 0.8, 1e-2), (-0.2, 0.3, 0.1),
+                              (0.0, 1.5, 3e-2)]:
+        a = jnp.float32
+        got = float(cr(a(mean), a(amp2), a(noise)))
+        scan_v = float(sc(a(mean), a(amp2), a(noise)))
+        dense = float(log_marginal(
+            x, y, mask, GPHypers(a(mean), a(amp2), a(noise), ls),
+            matern52))
+        assert got == pytest.approx(scan_v, rel=2e-3, abs=2e-2)
+        assert got == pytest.approx(dense, rel=2e-3, abs=2e-2)
+
+
+def test_chol_small_and_tri_inv_small(rng):
+    """The value-level Cholesky + nilpotent-squaring inverse used by
+    cyclic reduction, against NumPy — batched over a flattened
+    (chains × blocks) axis exactly as the CR levels use them."""
+    g, b = 7, 16
+    a = rng.randn(g, b, 24).astype(np.float32)
+    spd = a @ np.swapaxes(a, -1, -2) + 24 * np.eye(b, dtype=np.float32)
+    lmat, d = band._chol_small(jnp.array(spd))
+    linv = band._tri_inv_small(lmat, d)
+    for i in range(g):
+        ref = np.linalg.cholesky(spd[i].astype(np.float64))
+        got_l = np.tril(np.asarray(lmat[i], np.float64))
+        np.testing.assert_allclose(got_l, ref, rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(d[i]), np.diag(ref),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(linv[i]) @ ref, np.eye(b), atol=5e-4)
+
+
+def test_cr_pallas_kernel_matches_xla_recursion(rng):
+    """The Mosaic cyclic-reduction kernel (interpret mode on CPU) must
+    reproduce the XLA _cr_body bit-for-bit-ish, including a dense
+    cross-check of chain 0."""
+    K, m, b = 3, 8, 16
+    base = rng.randn(K, m, b, 2 * b).astype(np.float32)
+    d = np.matmul(base, np.swapaxes(base, -1, -2)) + 10 * np.eye(
+        b, dtype=np.float32)
+    s = (0.3 * rng.randn(K, m, b, b)).astype(np.float32)
+    s[:, -1] = 0.0
+    amp2 = rng.uniform(0.5, 1.5, K).astype(np.float32)
+    dadd = rng.uniform(0.01, 0.1, (K, m * b)).astype(np.float32)
+    r = rng.randn(K, m * b).astype(np.float32)
+    a, bb = band._cr_assemble(jnp.array(d), jnp.array(s),
+                              jnp.array(amp2), jnp.array(dadd),
+                              jnp.array(r))
+    ld_k, q_k = band.cr_logdet_q_pallas(a, bb, jnp.array(r),
+                                        interpret=True)
+    ld_x, q_x = band._cr_body(a, bb, jnp.array(r).reshape(K, m, b), 1,
+                              band._chol_small)
+    np.testing.assert_allclose(np.asarray(ld_k), np.asarray(ld_x),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(q_k), np.asarray(q_x),
+                               rtol=1e-4)
+    # dense reference, chain 0
+    kd = np.zeros((m * b, m * b))
+    for i in range(m):
+        kd[i*b:(i+1)*b, i*b:(i+1)*b] = np.asarray(a[0, i])
+        if i + 1 < m:
+            kd[(i+1)*b:(i+2)*b, i*b:(i+1)*b] = np.asarray(bb[0, i])
+            kd[i*b:(i+1)*b, (i+1)*b:(i+2)*b] = np.asarray(bb[0, i]).T
+    chol = np.linalg.cholesky(kd)
+    w = np.linalg.solve(chol, np.asarray(r[0], np.float64))
+    np.testing.assert_allclose(float(ld_k[0]),
+                               np.log(np.diag(chol)).sum(), rtol=1e-5)
+    np.testing.assert_allclose(float(q_k[0]), w @ w, rtol=1e-4)

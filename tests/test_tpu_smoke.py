@@ -188,3 +188,101 @@ def test_obs_sharded_path_matches_local_on_hardware(problem):
     assert np.max(np.abs(mu_s - mu_l)) < 5e-3 * np.abs(mu_l).max()
     assert np.max(np.abs(var_s - var_l)) < 5e-2 * np.abs(var_l).max()
     assert var_s.min() > 0
+
+
+def test_pending_augmented_cache_matches_f64_golden(problem):
+    """r5: the pending-fantasy path factors the AUGMENTED (obs∪pend)
+    covariance through the fused kernel (engine/suggest per_sample_
+    cache → linalg.cache_factor).  Check that route's posterior/EI on
+    hardware against float64 golden math with fixed fantasy values —
+    the exact class of separately-assembled-refactorization bug the r4
+    smoke caught on the no-pending path."""
+    from spearmint_tpu.core import linalg
+    from spearmint_tpu.core.kernels import matern52
+    from spearmint_tpu.core.likelihood import GPHypers, unit_cov_matrix
+    from spearmint_tpu.golden import numpy_ref as g
+    from spearmint_tpu.ops import pallas_gp
+
+    x, y, xp, yp, mask, cand = problem
+    rng = np.random.RandomState(3)
+    p_real, ppad = 64, 128          # chooser pads pending 128-aligned
+    pend = rng.rand(p_real, D)
+    pend_p = np.zeros((ppad, D), np.float32); pend_p[:p_real] = pend
+    pend_mask = np.arange(ppad) < p_real
+    fant = (0.3 * rng.randn(p_real)).astype(np.float64)  # fixed draws
+
+    aug_pad = PAD + ppad
+    assert pallas_gp.supported(aug_pad)  # 1152 = 9·128
+
+    x_aug = np.concatenate([xp, pend_p])
+    y_aug = np.zeros(aug_pad, np.float32)
+    y_aug[:N] = yp[:N]; y_aug[PAD:PAD + p_real] = fant
+    m_aug = np.concatenate([mask, pend_mask])
+
+    mean, amp2, noise, ls = 0.05, 1.2, 5e-3, (0.7, 0.5)
+    h = GPHypers(jnp.float32(mean), jnp.float32(amp2), jnp.float32(noise),
+                 jnp.array(ls, jnp.float32))
+
+    @jax.jit
+    def aug_ei(cj):
+        from spearmint_tpu.acquire import ei as jei
+
+        xa, ya, ma = (jnp.array(x_aug), jnp.array(y_aug),
+                      jnp.array(m_aug))
+        m0 = unit_cov_matrix(xa, ma, h.ls, matern52)
+        dadd = jnp.where(ma, h.noise, 1.0)
+        resid = jnp.where(ma, ya - h.mean, 0.0)
+        chol, linv, alpha = linalg.cache_factor(
+            m0, jnp.float32(amp2), dadd, resid)
+        cache = jei.PosteriorCache(
+            chol=chol, alpha=alpha,
+            best=linalg.masked_min(ya, ma), hypers=h, linv=linv)
+        mu, var = jei.posterior_from_cache(cache, xa, ma, cj, matern52)
+        return mu, var, jei.ei_from_cache(cache, xa, ma, cj, matern52)
+
+    mu, var, ei = map(np.asarray, aug_ei(jnp.array(cand, jnp.float32)))
+    x64 = np.concatenate([x.astype(np.float64), pend])
+    y64 = np.concatenate([y.astype(np.float64), fant])
+    mu0, var0 = g.posterior(x64, y64, cand, mean, amp2, noise,
+                            np.array(ls))
+    ei0 = g.compute_ei(x64, y64, cand, mean, amp2, noise, np.array(ls))
+    assert np.isfinite(mu).all() and np.isfinite(var).all()
+    np.testing.assert_allclose(mu, mu0, rtol=0,
+                               atol=5e-3 * np.abs(mu0).max())
+    np.testing.assert_allclose(var, var0, rtol=0,
+                               atol=5e-3 * np.abs(var0).max())
+    assert ei0[int(np.argmax(ei))] >= 0.8 * ei0.max()
+
+
+def test_fantasize_batch_moments_match_f64_golden(problem):
+    """fantasize_batch now factors the obs covariance through the
+    fused kernel (acquire/fantasy.py, r5): on hardware its draws'
+    moments must match the float64 golden pending posterior."""
+    from spearmint_tpu.acquire.fantasy import fantasize_batch
+    from spearmint_tpu.core.likelihood import GPHypers
+    from spearmint_tpu.golden import numpy_ref as g
+    import scipy.linalg as spla
+
+    x, y, xp, yp, mask, _ = problem
+    rng = np.random.RandomState(5)
+    p_real, ppad = 16, 16
+    pend = rng.rand(p_real, D)
+    mean, amp2, noise, ls = 0.0, 1.0, 1e-2, (0.6, 0.9)
+    h = GPHypers(jnp.float32(mean), jnp.float32(amp2), jnp.float32(noise),
+                 jnp.array(ls, jnp.float32))
+    F = 512
+    fants = np.asarray(fantasize_batch(
+        jax.random.PRNGKey(2), jnp.array(xp), jnp.array(yp),
+        jnp.array(mask), jnp.array(pend, jnp.float32),
+        jnp.ones(ppad, bool), h, F))
+    assert np.isfinite(fants).all()
+    # golden pending posterior (mean + marginal variances)
+    x64, y64 = x.astype(np.float64), y.astype(np.float64)
+    mu0, var_full = g.posterior(x64, y64, pend, mean, amp2, noise,
+                                np.array(ls))
+    emp_mean = fants.mean(axis=0)
+    emp_var = fants.var(axis=0)
+    # MC error at F=512: se(mean) ≈ σ/√F, se(var) ≈ var·√(2/F)
+    se = np.sqrt(np.maximum(var_full, 1e-10) / F)
+    assert np.all(np.abs(emp_mean - mu0) < 5 * se + 1e-3)
+    np.testing.assert_allclose(emp_var, var_full, rtol=0.35, atol=1e-4)
