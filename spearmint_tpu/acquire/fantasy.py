@@ -113,6 +113,11 @@ def fantasize_batch(
     beta = linalg.tri_solve(obs_chol, kx)
     pend_k = kappa - jnp.matmul(beta.T, beta, precision=hp)
     pend_k = linalg.mask_psd_matrix(pend_k + JITTER * eye_p, pend_mask)
+    # The P×P pending-pending factorization stays on XLA cholesky by
+    # design: P pads to ≤ a few hundred (sub-512, below the fused
+    # kernel's floor) and costs O(P³) ≈ microseconds — the n×n obs and
+    # (n+P)² augmented factorizations are the ones routed through the
+    # fused kernel.
     pend_chol = linalg.cholesky(pend_k)
 
     draws = jax.random.normal(key, (n_fantasies, n_pend), dtype=x.dtype)

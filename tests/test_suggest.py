@@ -239,3 +239,47 @@ def test_chooser_falls_back_on_degenerate_suggestion(tmp_path, monkeypatch):
     assert out == int(candidates[0])
     kinds = [e["kind"] for e in EventLog(str(tmp_path)).read()]
     assert "suggest_degenerate" in kinds
+
+
+def test_band_gate_composition(tmp_path, monkeypatch):
+    """The chooser's band_joint gate: OFF by default (measured no-go,
+    docs/PROFILE_r5.md), and when opted in it engages only at
+    band_joint_min+ pads on a TPU backend, never on the obs path."""
+    from spearmint_tpu.choosers.GPEIOptChooser import GPEIOptChooser
+    from spearmint_tpu.engine import suggest as suggest_mod
+
+    seen = {}
+    orig = suggest_mod.suggest_step
+
+    def spy(*args, **kwargs):
+        cfg = args[-1] if kwargs.get("config") is None else kwargs["config"]
+        seen["band_joint"] = cfg.band_joint
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(suggest_mod, "suggest_step", spy)
+    rng = np.random.RandomState(1)
+    grid = rng.rand(40, 2)
+    values = np.full(40, np.nan)
+    complete = np.arange(10)
+    values[complete] = rng.rand(10)
+    candidates = np.arange(10, 40)
+
+    # default: off regardless of pad
+    ch = GPEIOptChooser(str(tmp_path), mcmc_iters=1, chains=2, burnin=1)
+    ch.next(grid, values, np.full(40, np.nan), candidates, [], complete)
+    assert seen["band_joint"] is False
+    # opted in, but pad (16) below the threshold → still off
+    import os
+
+    os.makedirs(str(tmp_path) + "2")
+    ch2 = GPEIOptChooser(str(tmp_path) + "2", mcmc_iters=1, chains=2,
+                         burnin=1, band_joint_min=2048)
+    ch2.next(grid, values, np.full(40, np.nan), candidates, [], complete)
+    assert seen["band_joint"] is False
+    # opted in at a low threshold on the CPU backend → still off
+    # (the gate requires a TPU backend: the win is Mosaic-specific)
+    os.makedirs(str(tmp_path) + "3")
+    ch3 = GPEIOptChooser(str(tmp_path) + "3", mcmc_iters=1, chains=2,
+                         burnin=1, band_joint_min=16)
+    ch3.next(grid, values, np.full(40, np.nan), candidates, [], complete)
+    assert seen["band_joint"] is False
