@@ -45,7 +45,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from spearmint_tpu.core.kernels import matern52
 from spearmint_tpu.core.likelihood import JITTER, _effective_jitter
