@@ -89,7 +89,7 @@ def _householder_qr_scan(panel: jnp.ndarray):
     return a, taus
 
 
-def _panel_wy(panel: jnp.ndarray, eps: float = 0.0):
+def _panel_wy(panel: jnp.ndarray):
     """QR-factor a panel and return its compact-WY block reflector.
 
     panel: [m, b] (m ≥ b).  Returns (r, v, t) with
