@@ -63,11 +63,13 @@ def time_tpu(n, d, chains, cands, reps, lbfgs_iters=20, grid_subset=10,
     mask = np.arange(pad) < n
     xj, yj, mj = jnp.array(xp), jnp.array(yp), jnp.array(mask)
     hypers = init_chain_states(yj, mj, d, chains)
-    p_pad = max(4, n_pending)
-    if n_pending > 0 and pad >= 512 and pad % 128 == 0:
-        # 128-aligned pending pad keeps the augmented fantasy
-        # factorization on the fused kernel (chooser parity)
-        p_pad = -(-n_pending // 128) * 128
+    from spearmint_tpu.core.linalg import pend_pad
+
+    # chooser-parity pending pad (fused-eligibility rule lives in
+    # linalg.pend_pad); the benches historically used the raw pending
+    # count as the floor, preserved via minimum=
+    p_pad = (pend_pad(pad, n_pending) if n_pending > 0
+             else max(4, n_pending))
     rngp = np.random.RandomState(7)
     pend = jnp.array(rngp.rand(p_pad, d), jnp.float32)
     pend_mask = jnp.array(np.arange(p_pad) < n_pending)

@@ -30,7 +30,7 @@ from spearmint_tpu.core import linalg
 from spearmint_tpu.core.kernels import matern52
 from spearmint_tpu.core.likelihood import (
     GPHypers,
-    JITTER,
+    _effective_jitter,
     cross_cov,
     unit_cov_matrix,
 )
@@ -87,6 +87,54 @@ def make_cache(
                           linv=linv)
 
 
+def make_cache_aug(
+    x_aug: jnp.ndarray,
+    mask_aug: jnp.ndarray,
+    y_augs: jnp.ndarray,
+    hypers: GPHypers,
+    kernel: Callable = matern52,
+    with_inverse: bool = True,
+) -> PosteriorCache:
+    """PosteriorCache over AUGMENTED (obs ∪ pend) data with a leading
+    fantasy axis: y_augs is [F, N+P] (observed values broadcast, one
+    fantasy draw per row).
+
+    The factorization depends only on locations, so F fantasy draws
+    share ONE factorization — routed through the fused shifted kernel
+    (linalg.cache_factor / factor_solve), the same assembly/rounding
+    the sampler evaluated these hypers with; the augmented pad lands on
+    a supported bucket because callers pad pending via
+    ``linalg.pend_pad``.  Per-fantasy α = K⁻¹r_f is two GEMMs against
+    the explicit L⁻¹, or two lower-triangular solves in the no-inverse
+    memory mode (both read only the lower triangle — the fused
+    factor's strictly-upper tiles contain garbage).  Shared by
+    engine/suggest.py and engine/per_sec.py so the pending path's
+    numerics live in exactly one place.
+    """
+    m0_aug = unit_cov_matrix(x_aug, mask_aug, hypers.ls, kernel)
+    dadd = jnp.where(mask_aug, hypers.noise,
+                     jnp.asarray(1.0, x_aug.dtype))
+    amp2 = jnp.asarray(hypers.amp2, x_aug.dtype)
+    resid = jnp.where(mask_aug[None, :], y_augs - hypers.mean, 0.0)
+    hp = jax.lax.Precision.HIGHEST
+    if with_inverse:
+        chol, linv, _ = linalg.cache_factor(m0_aug, amp2, dadd, resid[0])
+        w = jnp.matmul(linv, resid.T, precision=hp)
+        alpha = jnp.matmul(linv.T, w, precision=hp).T         # [F, N+P]
+    else:
+        chol, _ = linalg.factor_solve(m0_aug, amp2, dadd, resid[0])
+        linv = None
+        w = jax.lax.linalg.triangular_solve(
+            chol, resid.T, left_side=True, lower=True)
+        alpha = jax.lax.linalg.triangular_solve(
+            chol, w, left_side=True, lower=True,
+            transpose_a=True).T                               # [F, N+P]
+    best = jnp.min(jnp.where(mask_aug[None, :], y_augs, jnp.inf),
+                   axis=1)                                    # [F]
+    return PosteriorCache(chol=chol, alpha=alpha, best=best,
+                          hypers=hypers, linv=linv)
+
+
 def posterior_from_cache(
     cache: PosteriorCache,
     x: jnp.ndarray,
@@ -115,7 +163,15 @@ def posterior_from_cache(
                           precision=jax.lax.Precision.HIGHEST)
     else:
         beta = linalg.tri_solve(cache.chol, kx)
-    var = h.amp2 * (1.0 + JITTER) - jnp.sum(beta * beta, axis=0)
+    # Prior-variance term uses the SAME jitter the covariance was
+    # assembled with (_effective_jitter, not the bare 1e-6): above
+    # n=2048 the two differ by up to ~1e-3·amp2 and the mismatch
+    # understates the smallest posterior variances near observations
+    # (the r4 ADVICE fix applied this to the constrained path; r5's
+    # review found the value-GP paths shared the bug).  Identical
+    # below n=2048, so small-n golden parity is untouched.
+    var = (h.amp2 * (1.0 + _effective_jitter(x.shape[0]))
+           - jnp.sum(beta * beta, axis=0))
     return mu, var
 
 

@@ -255,15 +255,12 @@ class GPEIOptChooser:
         mask = np.arange(pad) < n
 
         p = pend.shape[0]
-        # When the obs pad is fused-kernel-eligible (≥512, 128-aligned)
-        # pad pending to a multiple of 128 too, so the AUGMENTED
-        # (pad+ppad) factorization of the fantasy path stays on the
-        # fused Pallas route instead of falling back to XLA cholesky.
-        if pad >= 512 and pad % 128 == 0 and p > 0:
-            ppad = -(-p // 128) * 128   # 128-aligned (not the bucket
-            # ladder: its ¼-midpoints like 160 would break alignment)
-        else:
-            ppad = max(4, pad_bucket(max(p, 1), minimum=4))
+        # linalg.pend_pad keeps the AUGMENTED (pad+ppad) fantasy
+        # factorization fused-kernel-eligible (one shared definition
+        # with GPEIperSecChooser and bench.py).
+        from spearmint_tpu.core.linalg import pend_pad
+
+        ppad = pend_pad(pad, p)
         pend_p = np.zeros((ppad, ndim), np.float32)
         pend_p[:p] = pend
         pend_mask = np.arange(ppad) < p

@@ -106,13 +106,10 @@ class GPEIperSecChooser(GPEIOptChooser):
         mask = np.arange(pad) < n
 
         p = pend.shape[0]
-        # 128-aligned pending pad when the obs pad is fused-eligible, so
-        # the augmented fantasy factorization stays on the fused kernel
-        # (see GPEIOptChooser.next).
-        if pad >= 512 and pad % 128 == 0 and p > 0:
-            ppad = -(-p // 128) * 128
-        else:
-            ppad = max(4, pad_bucket(max(p, 1), minimum=4))
+        # shared fused-eligibility rule (see GPEIOptChooser.next)
+        from spearmint_tpu.core.linalg import pend_pad
+
+        ppad = pend_pad(pad, p)
         pend_p = np.zeros((ppad, ndim), np.float32); pend_p[:p] = pend
         pend_mask = np.arange(ppad) < p
 

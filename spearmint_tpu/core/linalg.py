@@ -62,6 +62,22 @@ def pad_bucket(n: int, minimum: int = 16) -> int:
         b *= 2
 
 
+def pend_pad(obs_pad: int, p: int, minimum: int = 4) -> int:
+    """Static pad for P pending points.
+
+    When the observation pad is fused-kernel-eligible (≥512,
+    128-aligned), pending pads to a multiple of 128 so the AUGMENTED
+    (obs_pad + pend_pad) fantasy factorization stays on the fused
+    Pallas route (the ¼-midpoint buckets like 160 would break the
+    alignment); otherwise the ordinary bucket ladder applies.  One
+    definition shared by the choosers and bench so the eligibility
+    invariant cannot drift between call sites.
+    """
+    if p > 0 and obs_pad >= 512 and obs_pad % 128 == 0:
+        return -(-p // 128) * 128
+    return max(minimum, pad_bucket(max(p, 1), minimum=minimum))
+
+
 def mask_psd_matrix(k: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Replace padded rows/cols of a PSD matrix with identity rows.
 

@@ -32,7 +32,7 @@ from spearmint_tpu.acquire.optimize import minimize_lbfgs_b
 from spearmint_tpu.core import linalg, priors
 from spearmint_tpu.core.likelihood import GPHypers
 from spearmint_tpu.engine.suggest import (
-    SuggestConfig, _chunked_vmap, _flatten_samples,
+    SuggestConfig, _chunked_vmap, _flatten_samples, nan_robust_mean,
 )
 from spearmint_tpu.mcmc.chains import marginal_at, sample_hypers_lp
 from spearmint_tpu.mcmc.ess import elliptical_slice
@@ -316,16 +316,11 @@ def suggest_step_constrained(
     # whose cache factorization failed at the f32 conditioning edge.
     ok = (jnp.all(jnp.isfinite(caches.alpha.reshape(s, -1)), axis=1)
           & jnp.all(jnp.isfinite(c_caches.alpha.reshape(s, -1)), axis=1))
-    n_ok_true = jnp.sum(ok.astype(jnp.int32))
-    n_ok = jnp.maximum(n_ok_true.astype(x.dtype), 1.0)
 
     acq_samples, pv_samples = acq_at(cand)
-    acq_samples = jnp.where(ok[:, None] & jnp.isfinite(acq_samples),
-                            acq_samples, 0.0)
-    pv_samples = jnp.where(ok[:, None] & jnp.isfinite(pv_samples),
-                           pv_samples, 0.0)
-    acq_mean = jnp.sum(acq_samples, axis=0) / n_ok
-    pv_mean = jnp.sum(pv_samples, axis=0) / n_ok
+    acq_mean, n_ok_true = nan_robust_mean(acq_samples, ok)
+    pv_mean, _ = nan_robust_mean(pv_samples, ok)
+    n_ok = jnp.maximum(n_ok_true.astype(x.dtype), 1.0)
     acq_masked = jnp.where(cand_mask, acq_mean, -jnp.inf)
     best_cand = jnp.argmax(acq_masked)
     best_cand_acq = acq_masked[best_cand]

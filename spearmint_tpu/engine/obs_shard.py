@@ -48,7 +48,7 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from spearmint_tpu.core.kernels import matern52
-from spearmint_tpu.core.likelihood import JITTER, _effective_jitter
+from spearmint_tpu.core.likelihood import _effective_jitter
 
 OBS_AXIS = "obs"
 
@@ -209,7 +209,11 @@ def posterior_colblock(x, y, mask, cand, mean, amp2, noise, ls,
     alpha = _backsolve(l_col, alpha)
     mu = mean + jnp.matmul(kx.T, alpha, precision=lax.Precision.HIGHEST)
     beta = solve_colblock(l_col, kx)
-    var = amp2 * (1.0 + JITTER) - jnp.sum(beta * beta, axis=0)
+    # prior-variance jitter must match cov_colblock's assembled
+    # diagonal (_effective_jitter, not the bare 1e-6 — see
+    # acquire/ei.posterior_from_cache)
+    var = (amp2 * (1.0 + _effective_jitter(x.shape[0]))
+           - jnp.sum(beta * beta, axis=0))
     return mu, var
 
 
@@ -330,6 +334,74 @@ def sharded_posterior(mesh: Mesh, kernel: Callable = matern52):
     return jax.jit(mapped)
 
 
+# ---------------------------------------- shared suggestion-step pieces
+def _chunk_candidates(cand, chunk):
+    """Pad the candidate set to whole chunks (first candidate repeated;
+    extra rows discarded by the caller's [:c] trim).  Returns
+    ([n_chunks, chunk, D], padded)."""
+    c = cand.shape[0]
+    chunk = min(chunk, c)
+    n_chunks = -(-c // chunk)
+    padded = n_chunks * chunk
+    cand_p = cand
+    if padded != c:
+        cand_p = jnp.concatenate(
+            [cand, jnp.broadcast_to(cand[:1],
+                                    (padded - c, cand.shape[1]))], 0)
+    return cand_p.reshape(n_chunks, chunk, cand.shape[1]), padded
+
+
+def _value_pieces(x, data, mask, h, kernel):
+    """One sample's obs-sharded factorization bundle:
+    (l_col, alpha = K⁻¹(data − mean), ok = factorization finite)."""
+    a_col = cov_colblock(x, mask, h.amp2, h.noise, h.ls, kernel)
+    l_col = cholesky_colblock(a_col)
+    resid = jnp.where(mask, data - h.mean, 0.0)
+    alpha = _backsolve(l_col, solve_colblock(l_col, resid))
+    return l_col, alpha, jnp.all(jnp.isfinite(alpha))
+
+
+def _ei_chunk(x, mask, h, l_col, alpha, best, cc, kernel):
+    """EI at one candidate chunk from an obs-sharded bundle — the ONE
+    obs-path EI formula (acquire/ei semantics; prior-variance jitter
+    matches the assembled covariance diagonal)."""
+    kx = h.amp2 * kernel(x, cc, h.ls) * mask[:, None]
+    mu = h.mean + jnp.matmul(kx.T, alpha,
+                             precision=lax.Precision.HIGHEST)
+    beta = solve_colblock(l_col, kx)
+    var = (h.amp2 * (1.0 + _effective_jitter(x.shape[0]))
+           - jnp.sum(beta * beta, 0))
+    sigma = jnp.sqrt(jnp.maximum(var, 1e-14))
+    u = (best - mu) / sigma
+    return sigma * (u * jax.scipy.stats.norm.cdf(u)
+                    + jax.scipy.stats.norm.pdf(u))
+
+
+def _sweep_family(k, h0s, x, data, mask, mcfg, iters, chain_chunk):
+    """vmapped chains × scanned iters of obs-sharded slice sweeps
+    (the MCMC driver shared by both sharded suggestion steps)."""
+    from spearmint_tpu.engine.suggest import _chunked_vmap, _flatten_samples
+    from spearmint_tpu.mcmc.chains import marginal_at, sample_hypers_lp
+
+    chains = h0s.mean.shape[0]
+
+    def chain_fn(kk, h0):
+        ks = jax.random.split(kk, iters)
+        lp0 = marginal_at(x, data, mask, h0, mcfg)
+
+        def bd(carry, k2):
+            h, lp = carry
+            h2, lp2 = sample_hypers_lp(k2, h, lp, x, data, mask, mcfg)
+            return (h2, lp2), h2
+
+        (h_out, _), samples = lax.scan(bd, (h0, lp0), ks)
+        return h_out, samples
+
+    h_last, samples = _chunked_vmap(chain_fn, chain_chunk)(
+        jax.random.split(k, chains), h0s)
+    return h_last, _flatten_samples(samples, chains * iters)
+
+
 # ------------------------------------------------- full suggestion step
 def sharded_suggest_obs(mesh: Mesh, config):
     """The PRODUCTION large-n suggestion: a full fully-Bayesian GP-EI
@@ -359,13 +431,8 @@ def sharded_suggest_obs(mesh: Mesh, config):
     Returns a callable (key, hypers[chains], x, y, mask, cand,
     cand_mask) → engine.suggest.SuggestResult.
     """
-    from spearmint_tpu.core.likelihood import GPHypers, JITTER
-    from spearmint_tpu.engine.suggest import (
-        SuggestResult,
-        _chunked_vmap,
-        _flatten_samples,
-    )
-    from spearmint_tpu.mcmc.chains import marginal_at, sample_hypers_lp
+    from spearmint_tpu.core.likelihood import GPHypers
+    from spearmint_tpu.engine.suggest import SuggestResult, nan_robust_mean
 
     kernel = config.kernel
     # band_joint off: the banded joint move would assemble the full n×n
@@ -377,73 +444,32 @@ def sharded_suggest_obs(mesh: Mesh, config):
 
     def body(key, mean, amp2, noise, ls, x, y, mask, cand, cand_mask):
         hypers = GPHypers(mean, amp2, noise, ls)
-        chains = mean.shape[0]
-        s = chains * iters
         # Same key discipline as suggest_step (split off the unused
         # fantasy key) so both paths draw identical chain randomness.
         k_chains, _ = jax.random.split(key)
-
-        def chain_fn(k, h0):
-            ks = jax.random.split(k, iters)
-            lp0 = marginal_at(x, y, mask, h0, mcfg)
-
-            def bd(carry, kk):
-                h, lp = carry
-                h2, lp2 = sample_hypers_lp(kk, h, lp, x, y, mask, mcfg)
-                return (h2, lp2), h2
-
-            (h_out, _), samples = lax.scan(bd, (h0, lp0), ks)
-            return h_out, samples
-
-        h_last, samples = _chunked_vmap(chain_fn, config.chain_chunk)(
-            jax.random.split(k_chains, chains), hypers)
-        flat = _flatten_samples(samples, s)
+        h_last, flat = _sweep_family(k_chains, hypers, x, y, mask, mcfg,
+                                     iters, config.chain_chunk)
 
         c = cand.shape[0]
-        chunk = min(cand_chunk, c)
-        n_chunks = -(-c // chunk)
-        padded = n_chunks * chunk
-        cand_p = cand
-        if padded != c:
-            cand_p = jnp.concatenate(
-                [cand, jnp.broadcast_to(cand[:1],
-                                        (padded - c, cand.shape[1]))], 0)
-        chunks = cand_p.reshape(n_chunks, chunk, cand.shape[1])
+        chunks, padded = _chunk_candidates(cand, cand_chunk)
 
         def per_sample_ei(h):
-            a_col = cov_colblock(x, mask, h.amp2, h.noise, h.ls, kernel)
-            l_col = cholesky_colblock(a_col)
-            resid = jnp.where(mask, y - h.mean, 0.0)
-            alpha = _backsolve(l_col, solve_colblock(l_col, resid))
-            best = jnp.min(jnp.where(mask, y, jnp.inf))
             # sample usable only if its distributed factorization was
             # finite (mirrors engine/suggest.py's cache ok-mask; the
             # 10k+-obs pod path is the MOST f32-conditioning-exposed
             # route in the codebase — r4 proved this failure mode on
             # hardware, tests/test_tpu_smoke.py)
-            ok = jnp.all(jnp.isfinite(alpha))
-
-            def ei_chunk(cc):
-                kx = h.amp2 * kernel(x, cc, h.ls) * mask[:, None]
-                mu = h.mean + jnp.matmul(kx.T, alpha,
-                                         precision=lax.Precision.HIGHEST)
-                beta = solve_colblock(l_col, kx)
-                var = h.amp2 * (1.0 + JITTER) - jnp.sum(beta * beta, 0)
-                sigma = jnp.sqrt(jnp.maximum(var, 1e-14))
-                u = (best - mu) / sigma
-                return sigma * (u * jax.scipy.stats.norm.cdf(u)
-                                + jax.scipy.stats.norm.pdf(u))
-
-            return lax.map(ei_chunk, chunks).reshape(padded)[:c], ok
+            l_col, alpha, ok = _value_pieces(x, y, mask, h, kernel)
+            best = jnp.min(jnp.where(mask, y, jnp.inf))
+            ei = lax.map(
+                lambda cc: _ei_chunk(x, mask, h, l_col, alpha, best, cc,
+                                     kernel), chunks)
+            return ei.reshape(padded)[:c], ok
 
         ei_samples, ok = lax.map(per_sample_ei, flat)    # [S, C], [S]
         # NaN-robust sample average (engine/suggest.py parity): one
         # conditioning-edge sample must not poison every candidate.
-        n_ok_true = jnp.sum(ok.astype(jnp.int32))
-        n_ok = jnp.maximum(n_ok_true.astype(ei_samples.dtype), 1.0)
-        ei_samples = jnp.where(ok[:, None] & jnp.isfinite(ei_samples),
-                               ei_samples, 0.0)
-        ei_mean = jnp.sum(ei_samples, axis=0) / n_ok
+        ei_mean, n_ok_true = nan_robust_mean(ei_samples, ok)
         ei_masked = jnp.where(cand_mask, ei_mean, -jnp.inf)
         best_cand = jnp.argmax(ei_masked)
         best_ei = ei_masked[best_cand]
@@ -484,10 +510,9 @@ def sharded_suggest_per_sec(mesh: Mesh, config):
     Returns a callable (key, hypers, time_hypers, x, y, log_durs,
     mask, cand, cand_mask) → engine.per_sec.PerSecResult.
     """
-    from spearmint_tpu.core.likelihood import GPHypers, JITTER
+    from spearmint_tpu.core.likelihood import GPHypers
     from spearmint_tpu.engine.per_sec import PerSecResult
-    from spearmint_tpu.engine.suggest import _chunked_vmap, _flatten_samples
-    from spearmint_tpu.mcmc.chains import sample_hypers_lp
+    from spearmint_tpu.engine.suggest import nan_robust_mean
 
     kernel = config.kernel
     mcfg = config.mcmc._replace(
@@ -498,69 +523,29 @@ def sharded_suggest_per_sec(mesh: Mesh, config):
     def body(key, h_parts, t_parts, x, y, log_durs, mask, cand, cand_mask):
         hypers = GPHypers(*h_parts)
         t_hypers = GPHypers(*t_parts)
-        chains = hypers.mean.shape[0]
-        s = chains * iters
         k_val, k_time, _ = jax.random.split(key, 3)
 
-        def family(k, h0s, data):
-            def chain_fn(kk, h0):
-                ks = jax.random.split(kk, iters)
-
-                def bd(carry, k2):
-                    h, lp = carry
-                    h2, lp2 = sample_hypers_lp(k2, h, lp, x, data, mask,
-                                               mcfg)
-                    return (h2, lp2), h2
-
-                lp0 = _marginal_colblock(x, data, mask, h0, kernel)
-                (h_out, _), samples = lax.scan(bd, (h0, lp0), ks)
-                return h_out, samples
-
-            h_last, samples = _chunked_vmap(chain_fn, config.chain_chunk)(
-                jax.random.split(k, chains), h0s)
-            return h_last, _flatten_samples(samples, s)
-
-        h_last, flat = family(k_val, hypers, y)
-        t_last, t_flat = family(k_time, t_hypers, log_durs)
+        h_last, flat = _sweep_family(k_val, hypers, x, y, mask, mcfg,
+                                     iters, config.chain_chunk)
+        t_last, t_flat = _sweep_family(k_time, t_hypers, x, log_durs,
+                                       mask, mcfg, iters,
+                                       config.chain_chunk)
 
         c = cand.shape[0]
-        chunk = min(cand_chunk, c)
-        n_chunks = -(-c // chunk)
-        padded = n_chunks * chunk
-        cand_p = cand
-        if padded != c:
-            cand_p = jnp.concatenate(
-                [cand, jnp.broadcast_to(cand[:1],
-                                        (padded - c, cand.shape[1]))], 0)
-        chunks = cand_p.reshape(n_chunks, chunk, cand.shape[1])
+        chunks, padded = _chunk_candidates(cand, cand_chunk)
 
         def per_sample(pair):
             h, th = pair
-            # value GP: sharded factorization + EI pieces
-            a_col = cov_colblock(x, mask, h.amp2, h.noise, h.ls, kernel)
-            l_col = cholesky_colblock(a_col)
-            resid = jnp.where(mask, y - h.mean, 0.0)
-            alpha = _backsolve(l_col, solve_colblock(l_col, resid))
+            l_col, alpha, ok_v = _value_pieces(x, y, mask, h, kernel)
             best = jnp.min(jnp.where(mask, y, jnp.inf))
-            # duration GP: sharded factorization + posterior-mean pieces
-            ta_col = cov_colblock(x, mask, th.amp2, th.noise, th.ls,
-                                  kernel)
-            tl_col = cholesky_colblock(ta_col)
-            t_resid = jnp.where(mask, log_durs - th.mean, 0.0)
-            t_alpha = _backsolve(tl_col, solve_colblock(tl_col, t_resid))
-            ok = jnp.all(jnp.isfinite(alpha)) & jnp.all(
-                jnp.isfinite(t_alpha))
+            tl_col, t_alpha, ok_t = _value_pieces(x, log_durs, mask, th,
+                                                  kernel)
+            del tl_col  # only the duration posterior MEAN is needed
+            ok = ok_v & ok_t
 
             def eips_chunk(cc):
-                kx = h.amp2 * kernel(x, cc, h.ls) * mask[:, None]
-                mu = h.mean + jnp.matmul(kx.T, alpha,
-                                         precision=lax.Precision.HIGHEST)
-                beta = solve_colblock(l_col, kx)
-                var = h.amp2 * (1.0 + JITTER) - jnp.sum(beta * beta, 0)
-                sigma = jnp.sqrt(jnp.maximum(var, 1e-14))
-                u = (best - mu) / sigma
-                ei = sigma * (u * jax.scipy.stats.norm.cdf(u)
-                              + jax.scipy.stats.norm.pdf(u))
+                ei = _ei_chunk(x, mask, h, l_col, alpha, best, cc,
+                               kernel)
                 tkx = th.amp2 * kernel(x, cc, th.ls) * mask[:, None]
                 t_mu = th.mean + jnp.matmul(
                     tkx.T, t_alpha, precision=lax.Precision.HIGHEST)
@@ -569,11 +554,7 @@ def sharded_suggest_per_sec(mesh: Mesh, config):
             return lax.map(eips_chunk, chunks).reshape(padded)[:c], ok
 
         ei_samples, ok = lax.map(per_sample, (flat, t_flat))   # [S, C]
-        n_ok_true = jnp.sum(ok.astype(jnp.int32))
-        n_ok = jnp.maximum(n_ok_true.astype(ei_samples.dtype), 1.0)
-        ei_samples = jnp.where(ok[:, None] & jnp.isfinite(ei_samples),
-                               ei_samples, 0.0)
-        ei_mean = jnp.sum(ei_samples, axis=0) / n_ok
+        ei_mean, n_ok_true = nan_robust_mean(ei_samples, ok)
         ei_masked = jnp.where(cand_mask, ei_mean, -jnp.inf)
         best_cand = jnp.argmax(ei_masked)
         best_ei = ei_masked[best_cand]

@@ -28,7 +28,7 @@ from spearmint_tpu.acquire.fantasy import fantasize_batch
 from spearmint_tpu.acquire.optimize import minimize_lbfgs_b
 from spearmint_tpu.core.likelihood import GPHypers
 from spearmint_tpu.engine.suggest import (
-    SuggestConfig, _chunked_vmap, _flatten_samples,
+    SuggestConfig, _chunked_vmap, _flatten_samples, nan_robust_mean,
 )
 from spearmint_tpu.mcmc.chains import marginal_at, sample_hypers_lp
 
@@ -93,45 +93,21 @@ def suggest_step_per_sec(
 
     # --- value-GP caches (with fantasies when pending) ------------------
     if config.has_pending:
-        from spearmint_tpu.core import linalg as _lin
-        from spearmint_tpu.core.likelihood import unit_cov_matrix
-
         x_aug = jnp.concatenate([x, pend], axis=0)
         mask_aug = jnp.concatenate([mask, pend_mask], axis=0)
         n_fant = config.n_fantasies
 
         def val_cache(kk, h):
-            # F fantasy draws share one augmented factorization (the
-            # Cholesky depends only on X locations) — same batched
-            # fantasy axis and fused-kernel routing as the flagship
-            # (engine/suggest.py per_sample_cache).
+            # F fantasy draws share one augmented fused-kernel
+            # factorization — same shared builder as the flagship
+            # (acquire/ei.make_cache_aug).
             fants = fantasize_batch(kk, x, y, mask, pend, pend_mask, h,
                                     n_fant, kernel)                # [F, P]
             y_augs = jnp.concatenate(
                 [jnp.broadcast_to(y, (n_fant,) + y.shape), fants], axis=1)
-            m0_aug = unit_cov_matrix(x_aug, mask_aug, h.ls, kernel)
-            dadd = jnp.where(mask_aug, h.noise,
-                             jnp.asarray(1.0, x.dtype))
-            amp2 = jnp.asarray(h.amp2, x.dtype)
-            resid = jnp.where(mask_aug[None, :], y_augs - h.mean, 0.0)
-            hp = jax.lax.Precision.HIGHEST
-            if config.explicit_inverse:
-                chol, linv, _ = _lin.cache_factor(m0_aug, amp2, dadd,
-                                                  resid[0])
-                w = jnp.matmul(linv, resid.T, precision=hp)
-                alpha = jnp.matmul(linv.T, w, precision=hp).T     # [F, N+P]
-            else:
-                chol, _ = _lin.factor_solve(m0_aug, amp2, dadd, resid[0])
-                linv = None
-                w = lax.linalg.triangular_solve(
-                    chol, resid.T, left_side=True, lower=True)
-                alpha = lax.linalg.triangular_solve(
-                    chol, w, left_side=True, lower=True,
-                    transpose_a=True).T                           # [F, N+P]
-            best = jnp.min(jnp.where(mask_aug[None, :], y_augs, jnp.inf),
-                           axis=1)                                 # [F]
-            return ei_mod.PosteriorCache(chol=chol, alpha=alpha, best=best,
-                                         hypers=h, linv=linv)
+            return ei_mod.make_cache_aug(
+                x_aug, mask_aug, y_augs, h, kernel,
+                with_inverse=config.explicit_inverse)
 
         caches = _chunked_vmap(val_cache, config.chain_chunk)(
             jax.random.split(k_fant, s), flat)
@@ -177,13 +153,8 @@ def suggest_step_per_sec(
     # whose cache factorization failed at the f32 conditioning edge.
     ok = (jnp.all(jnp.isfinite(caches.alpha.reshape(s, -1)), axis=1)
           & jnp.all(jnp.isfinite(t_caches.alpha.reshape(s, -1)), axis=1))
-    n_ok_true = jnp.sum(ok.astype(jnp.int32))
+    ei_mean, n_ok_true = nan_robust_mean(ei_per_s_at(cand), ok)
     n_ok = jnp.maximum(n_ok_true.astype(x.dtype), 1.0)
-
-    ei_samples = ei_per_s_at(cand)           # [S, C]
-    ei_samples = jnp.where(ok[:, None] & jnp.isfinite(ei_samples),
-                           ei_samples, 0.0)
-    ei_mean = jnp.sum(ei_samples, axis=0) / n_ok
     ei_masked = jnp.where(cand_mask, ei_mean, -jnp.inf)
     best_cand = jnp.argmax(ei_masked)
     best_cand_ei = ei_masked[best_cand]

@@ -109,6 +109,24 @@ def _flatten_samples(samples: GPHypers, s: int) -> GPHypers:
     return jax.tree.map(lambda a: a.reshape((s,) + a.shape[2:]), samples)
 
 
+def nan_robust_mean(samples: jnp.ndarray, ok: jnp.ndarray):
+    """Sample average excluding failed/non-finite samples.
+
+    samples: [S, ...] per-sample values; ok: [S] bool (sample usable —
+    its cache factorization was finite).  Returns (mean over axis 0,
+    n_ok int32).  n_ok == 0 → the mean is all zeros and carries no
+    signal; every engine returns n_ok so the choosers can fall back to
+    grid order instead of dispatching the meaningless argmax.  ONE
+    definition shared by all engines — the degenerate-suggestion
+    contract must not drift between them.
+    """
+    n_ok_true = jnp.sum(ok.astype(jnp.int32))
+    n_ok = jnp.maximum(n_ok_true.astype(samples.dtype), 1.0)
+    ok_b = ok.reshape(ok.shape + (1,) * (samples.ndim - 1))
+    samples = jnp.where(ok_b & jnp.isfinite(samples), samples, 0.0)
+    return jnp.sum(samples, axis=0) / n_ok, n_ok_true
+
+
 def _chunked_vmap(fn, chunk: int):
     """vmap with the leading axis processed in sequential groups.
 
@@ -177,52 +195,21 @@ def suggest_step(
 
     # ---- posterior caches (one Cholesky per sample, batched) -----------
     if config.has_pending:
-        from spearmint_tpu.core.likelihood import unit_cov_matrix
-        from spearmint_tpu.core import linalg as _lin
-
         x_aug = jnp.concatenate([x, pend], axis=0)
         mask_aug = jnp.concatenate([mask, pend_mask], axis=0)
         n_fant = config.n_fantasies
 
         def per_sample_cache(kk, h):
-            # F fantasy draws share one augmented factorization: the
-            # Cholesky depends only on X locations, not fantasy values.
-            # The factorization routes through the fused shifted kernel
-            # (linalg.cache_factor / factor_solve) exactly like the
-            # no-pending caches — same assembly/rounding the sampler
-            # evaluated these hypers with; the augmented pad lands on a
-            # supported bucket because the chooser pads pending to a
-            # multiple of 128 whenever the obs pad is fused-eligible.
+            # F fantasy draws share one augmented fused-kernel
+            # factorization (ei.make_cache_aug — the single home of
+            # the pending-path cache numerics).
             fants = fantasize_batch(kk, x, y, mask, pend, pend_mask, h,
                                     n_fant, kernel)               # [F, P]
             y_augs = jnp.concatenate(
                 [jnp.broadcast_to(y, (n_fant,) + y.shape), fants], axis=1)
-            m0_aug = unit_cov_matrix(x_aug, mask_aug, h.ls, kernel)
-            dadd = jnp.where(mask_aug, h.noise,
-                             jnp.asarray(1.0, x.dtype))
-            amp2 = jnp.asarray(h.amp2, x.dtype)
-            resid = jnp.where(mask_aug[None, :], y_augs - h.mean, 0.0)
-            hp = jax.lax.Precision.HIGHEST
-            if config.explicit_inverse:
-                chol, linv, _ = _lin.cache_factor(m0_aug, amp2, dadd,
-                                                  resid[0])
-                # α_f = K⁻¹r_f = L⁻ᵀ(L⁻¹ r_f): two GEMMs against L⁻¹
-                w = jnp.matmul(linv, resid.T, precision=hp)
-                alpha = jnp.matmul(linv.T, w, precision=hp).T     # [F, N+P]
-            else:
-                chol, _ = _lin.factor_solve(m0_aug, amp2, dadd, resid[0])
-                linv = None
-                # batched cho_solve reading the lower triangle only
-                # (the fused factor's upper tiles contain garbage)
-                w = lax.linalg.triangular_solve(
-                    chol, resid.T, left_side=True, lower=True)
-                alpha = lax.linalg.triangular_solve(
-                    chol, w, left_side=True, lower=True,
-                    transpose_a=True).T                           # [F, N+P]
-            best = jnp.min(jnp.where(mask_aug[None, :], y_augs, jnp.inf),
-                           axis=1)                                 # [F]
-            return ei_mod.PosteriorCache(chol=chol, alpha=alpha, best=best,
-                                         hypers=h, linv=linv)
+            return ei_mod.make_cache_aug(
+                x_aug, mask_aug, y_augs, h, kernel,
+                with_inverse=config.explicit_inverse)
 
         caches = _chunked_vmap(per_sample_cache, config.chain_chunk)(
             jax.random.split(k_fant, s), flat)
@@ -249,11 +236,8 @@ def suggest_step(
     # the EI average instead of letting one NaN poison every candidate
     # (the f64 reference never hits this; it would crash if it did).
     ok = jnp.all(jnp.isfinite(caches.alpha.reshape(s, -1)), axis=1)
-    n_ok_true = jnp.sum(ok.astype(jnp.int32))
-    n_ok = jnp.maximum(n_ok_true.astype(ei_samples.dtype), 1.0)
-    ei_samples = jnp.where(ok[:, None] & jnp.isfinite(ei_samples),
-                           ei_samples, 0.0)
-    ei_mean = jnp.sum(ei_samples, axis=0) / n_ok
+    ei_mean, n_ok_true = nan_robust_mean(ei_samples, ok)
+    n_ok = jnp.maximum(n_ok_true.astype(ei_mean.dtype), 1.0)
     ei_masked = jnp.where(cand_mask, ei_mean, -jnp.inf)
     best_cand = jnp.argmax(ei_masked)
     best_cand_ei = ei_masked[best_cand]
