@@ -60,12 +60,11 @@ def detect_broken(grid: ExperimentGrid, driver) -> list[int]:
     for job_id in grid.get_pending():
         proc_id = grid.get_proc_id(int(job_id))
         if proc_id >= 0 and not driver.is_alive(proc_id):
-            # Re-read: the runner may have completed between the listing
-            # and the liveness check.
-            fresh = ExperimentGrid(grid.expt_dir)
-            status = fresh.status[job_id]
-            if status in (1, 2):  # still submitted/running → it died
-                grid.set_broken(int(job_id))
+            # The status re-check and the flip share one locked
+            # read-modify-write (set_broken_if_pending), so a runner
+            # completing between the liveness probe and the flip keeps
+            # its result — no TOCTOU window.
+            if grid.set_broken_if_pending(int(job_id)):
                 codec.log(f"job {int(job_id)} vanished; marked broken")
                 from spearmint_tpu.utils.events import EventLog
 

@@ -260,6 +260,25 @@ class ExperimentGrid:
     def set_broken(self, job_id):
         self._set_state(job_id, BROKEN_STATE)
 
+    def set_broken_if_pending(self, job_id) -> bool:
+        """Flip to broken ONLY if still submitted/running.
+
+        The check and the flip share ONE locked read-modify-write, so a
+        runner that completes between the harness's liveness probe and
+        this call can never have its result clobbered (the harness-side
+        re-read in loop.detect_broken narrows the window; this closes
+        it).  Returns whether the flip happened.
+        """
+        out = {"flipped": False}
+
+        def fn():
+            if self.status[job_id] in (SUBMITTED_STATE, RUNNING_STATE):
+                self.status[job_id] = BROKEN_STATE
+                out["flipped"] = True
+
+        self._mutate(fn)
+        return out["flipped"]
+
     def retry_broken(self, job_id, max_retries: int) -> bool:
         """Requeue a broken job as a candidate if its retry budget allows
         (SURVEY.md §5.3 build note: broken-state machine + retry budget;

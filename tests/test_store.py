@@ -185,3 +185,23 @@ def test_proc_id_write_preserves_completed_status(tmp_path):
     assert 4 in fresh.get_complete()
     assert fresh.get_best() == (0.42, 4)
     assert fresh.get_proc_id(4) == 9999
+
+
+def test_set_broken_if_pending_never_clobbers_completed(tmp_path):
+    """Failure-detection race, fully closed (r5): the liveness probe
+    says the process vanished, but the runner completes the job before
+    the broken flip.  set_broken_if_pending's check and flip share one
+    locked read-modify-write, so the result survives."""
+    cfg = codec.parse_text_config(CONFIG_PB)
+    grid = ExperimentGrid(str(tmp_path), cfg.variables, grid_size=10)
+    grid.set_submitted(3, proc_id=12345)
+    # runner completes in the gap between the probe and the flip
+    ExperimentGrid.job_complete(str(tmp_path), 3, 0.7, 0.5)
+    assert grid.set_broken_if_pending(3) is False
+    fresh = ExperimentGrid(str(tmp_path))
+    assert 3 in fresh.get_complete()
+    assert float(fresh.values[3]) == 0.7
+    # and a genuinely dead pending job still flips
+    grid.set_submitted(5, proc_id=23456)
+    assert grid.set_broken_if_pending(5) is True
+    assert 5 in ExperimentGrid(str(tmp_path)).get_broken()
