@@ -477,6 +477,15 @@ def _cr_pallas_fits(k_batch, m, b) -> bool:
     return 2 * 4 * k_batch * m * b * b <= 90 * 1024 * 1024
 
 
+# Mosaic-kernel dispatch gate for the batched CR evaluation.  DEFAULT
+# OFF: the kernel is interpret-mode-correct but HANGS the current
+# toolchain's Mosaic compile on real hardware at every shape tried
+# (docs/PROFILE_r5.md §1) — with the flag off, a TPU band-mode opt-in
+# degrades to the (slower but terminating) XLA recursion instead of
+# wedging the chip.  Flip on a toolchain that compiles it.
+CR_PALLAS = False
+
+
 @cr_eval.def_vmap
 def _cr_eval_vmap(axis_size, in_batched, d_blocks, s_blocks, amp2, dadd,
                   resid):
@@ -486,7 +495,7 @@ def _cr_eval_vmap(axis_size, in_batched, d_blocks, s_blocks, amp2, dadd,
     d_blocks, s_blocks, amp2, dadd, resid = args
     k_batch, m, b, _ = d_blocks.shape
     a, bb = _cr_assemble(d_blocks, s_blocks, amp2, dadd, resid)
-    if (jax.default_backend() == "tpu"
+    if (CR_PALLAS and jax.default_backend() == "tpu"
             and _cr_pallas_fits(k_batch, m, b) and b % 4 == 0):
         ld, q = cr_logdet_q_pallas(a, bb, resid)
     else:

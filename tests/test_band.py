@@ -241,3 +241,51 @@ def test_cr_pallas_kernel_matches_xla_recursion(rng):
     np.testing.assert_allclose(float(ld_k[0]),
                                np.log(np.diag(chol)).sum(), rtol=1e-5)
     np.testing.assert_allclose(float(q_k[0]), w @ w, rtol=1e-4)
+
+
+def test_band_mode_sampler_matches_distribution():
+    """Sampler-level check: hyperparameter chains driven with the
+    band-mode joint move must land on the same posterior as the fused
+    path — same data, different keys, posterior moments within MC
+    error.  (Marginal-value parity is tested above; this closes the
+    loop on the lp0 re-seeding discipline inside sample_hypers_lp.)"""
+    from spearmint_tpu.mcmc.chains import MCMCConfig, sample_hypers_lp
+
+    x, y, mask = _problem(100, 128)
+    chains, sweeps = 4, 30
+
+    def run(band, seed):
+        cfg = MCMCConfig(band_joint=band, band_block=16)
+        from spearmint_tpu.mcmc.chains import init_hypers
+
+        h = init_hypers(y, mask, 2)
+        h = jax.tree.map(lambda a: jnp.broadcast_to(a, (chains,) + a.shape),
+                         h)
+
+        def chain(k, h0):
+            ks = jax.random.split(k, sweeps)
+
+            def body(carry, kk):
+                hh, lp = carry
+                h2, lp2 = sample_hypers_lp(kk, hh, lp, x, y, mask, cfg)
+                return (h2, lp2), h2
+
+            from spearmint_tpu.mcmc.chains import marginal_at
+
+            lp0 = marginal_at(x, y, mask, h0, cfg)
+            (_, _), samples = jax.lax.scan(body, (h0, lp0), ks)
+            return samples
+
+        keys = jax.random.split(jax.random.PRNGKey(seed), chains)
+        return jax.vmap(chain)(keys, h)
+
+    sb = run(True, 0)
+    sf = run(False, 1)
+    # second half of each chain (past mixing), pooled
+    for name in ("amp2", "noise", "mean"):
+        a = np.asarray(getattr(sb, name))[:, sweeps // 2:].ravel()
+        b = np.asarray(getattr(sf, name))[:, sweeps // 2:].ravel()
+        la, lb = np.log(np.abs(a) + 1e-6), np.log(np.abs(b) + 1e-6)
+        se = np.sqrt(la.var() / 8 + lb.var() / 8)  # ~8 effective samples
+        assert abs(la.mean() - lb.mean()) < 4 * se + 0.35, (
+            name, la.mean(), lb.mean(), se)
